@@ -1,0 +1,115 @@
+"""End-to-end training parity: the TPU core (scatter sufficient statistics
++ factored neighborhood operator) vs the golden NumPy model that follows
+the reference algorithm verbatim (materialized g, gᵀ@x GEMM). Agreement
+here validates the TPU-first reformulation, not just the kernels."""
+
+import numpy as np
+import pytest
+
+from xpysom_dask_tpu import XPySom
+from xpysom_dask_tpu.models.golden import GoldenSom
+
+
+def _pair(x, y, d, **kw):
+    seed = kw.pop("random_seed", 42)
+    ours = XPySom(x, y, d, random_seed=seed, **kw)
+    gold = GoldenSom(
+        x,
+        y,
+        d,
+        sigma=kw.get("sigma", 0),
+        sigmaN=kw.get("sigmaN", 1),
+        learning_rate=kw.get("learning_rate", 0.5),
+        learning_rateN=kw.get("learning_rateN", 0.01),
+        decay=kw.get("decay_function", "exponential"),
+        neighborhood=kw.get("neighborhood_function", "gaussian"),
+        std_coeff=kw.get("std_coeff", 0.5),
+        topology=kw.get("topology", "rectangular"),
+        compact_support=kw.get("compact_support", False),
+        random_seed=seed,
+    )
+    np.testing.assert_array_equal(ours._weights, gold.weights)
+    return ours, gold
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"neighborhood_function": "mexican_hat"},
+        {"neighborhood_function": "bubble", "sigma": 2.0},
+        {"neighborhood_function": "triangle", "sigma": 2.0},
+        {"topology": "hexagonal"},
+        {"topology": "hexagonal", "neighborhood_function": "mexican_hat"},
+        {"topology": "hexagonal", "neighborhood_function": "bubble", "sigma": 2.0},
+        {"decay_function": "linear"},
+        {"decay_function": "asymptotic"},
+        {"compact_support": True, "sigma": 2.0},
+        {"std_coeff": 1.3},
+    ],
+)
+def test_train_matches_golden(kw):
+    rng = np.random.RandomState(11)
+    data = rng.rand(200, 4).astype(np.float32)
+    ours, gold = _pair(6, 5, 4, **kw)
+    # Piecewise-constant/-linear kernels (bubble, triangle) drive codebook
+    # rows to exactly equal values; fp32 reassociation (~1e-7) then breaks
+    # those argmin ties differently from the float64 oracle, so trained
+    # weights diverge chaotically after a few epochs (SURVEY.md §7 risk
+    # "bit-parity of argmin ties"). For those, assert tight parity over the
+    # first epochs and loose QE parity over the full run.
+    tie_prone = kw.get("neighborhood_function") in ("bubble", "triangle") or kw.get(
+        "compact_support", False
+    )
+    epochs_tight = 1 if tie_prone else 5
+    ours.train(data, 5, iter_beg=0, iter_end=epochs_tight)
+    gold.train(data, 5, iter_beg=0, iter_end=epochs_tight)
+    np.testing.assert_allclose(ours._weights, gold.weights, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        ours.quantization_error(data),
+        gold.quantization_error(data),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    if tie_prone:
+        ours.train(data, 5, iter_beg=epochs_tight, iter_end=5)
+        gold.train(data, 5, iter_beg=epochs_tight, iter_end=5)
+        np.testing.assert_allclose(
+            ours.quantization_error(data),
+            gold.quantization_error(data),
+            rtol=5e-2,
+        )
+
+
+def test_train_matches_golden_multichunk():
+    """Force several mini-batch chunks per epoch (n_parallel < N) — chunking
+    must not change the accumulated statistics."""
+    rng = np.random.RandomState(5)
+    data = rng.rand(500, 3).astype(np.float32)
+    ours = XPySom(5, 5, 3, random_seed=9, n_parallel=64)
+    gold = GoldenSom(5, 5, 3, random_seed=9)
+    ours.train(data, 3)
+    gold.train(data, 3)
+    np.testing.assert_allclose(ours._weights, gold.weights, rtol=1e-3, atol=1e-4)
+
+
+def test_bmu_matches_golden():
+    rng = np.random.RandomState(1)
+    data = rng.rand(300, 6).astype(np.float32)
+    ours = XPySom(7, 4, 6, random_seed=3)
+    gold = GoldenSom(7, 4, 6, random_seed=3)
+    got = ours.predict(data)
+    want = gold.bmu(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantization_error_parity_random_weights():
+    rng = np.random.RandomState(2)
+    data = rng.rand(100, 5).astype(np.float32)
+    ours = XPySom(6, 6, 5, random_seed=8)
+    gold = GoldenSom(6, 6, 5, random_seed=8)
+    np.testing.assert_allclose(
+        ours.quantization_error(data),
+        gold.quantization_error(data),
+        rtol=1e-5,
+    )

@@ -1,0 +1,371 @@
+"""Functional training/inference core of the TPU-native batch SOM.
+
+This module replaces the imperative training loop of the reference
+(``xpysom_dask/xpysom.py:458-594``) with pure, jit-compiled functions over
+static-shaped, pre-chunked data. Key TPU-first redesigns versus the
+reference:
+
+- **BMU search** is the dominant FLOPs cost and stays a big MXU matmul
+  (``-2 x@Wᵀ + ‖w‖²`` + argmin; reference distances.py:11-23,
+  xpysom.py:410-417). A fused Pallas kernel backs it on TPU (see
+  ``ops/pallas``); the XLA formulation here is the portable fallback.
+
+- **The codebook update is reformulated around per-BMU sufficient
+  statistics.** The reference materializes the neighborhood tensor
+  ``g (N, X, Y)`` and computes ``num = g_flatᵀ @ X`` — an
+  ``(XY, N) @ (N, D)`` GEMM (xpysom.py:434-440) costing ``N·XY·D`` FLOPs.
+  But ``g`` depends on samples only through their BMU, so
+  ``num[j] = Σ_b H[b, j] · S[b]`` with ``S[b] = Σ_{n: bmu=b} x_n`` and
+  ``cnt[b] = |{n: bmu=b}|``. Accumulating ``(S, cnt)`` is an O(N·D)
+  scatter-add and applying the neighborhood operator ``H`` is O(XY²·D) —
+  with separable factorization O((X+Y)·XY·D) — instead of O(N·XY·D).
+  The result is bit-identical math up to fp reassociation.
+
+- **Dask data-parallelism → ``shard_map`` + ``psum``.** The reference ships
+  the codebook to every Dask task and reduces partial accumulators on the
+  driver once per epoch (xpysom.py:545-558). Here each device accumulates
+  ``(S, cnt)`` over its data shard and a single ``psum`` over the ``data``
+  mesh axis reduces them on-ICI; the (tiny) codebook update then runs
+  replicated. No host round-trip inside an epoch.
+
+- In-place accumulators become ``lax.scan`` carries; ragged final chunks
+  (reference xpysom.py:563-564) become pad + mask so all shapes are static
+  under jit.
+
+- Learning-rate/σ decays are computed *inside* jit from a traced iteration
+  index, so one compiled step serves every epoch (the reference recomputes
+  them on host per epoch, xpysom.py:541-543).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .ops.decays import DECAY_REGISTRY
+from .ops.distances import DistanceFunction, euclidean_squared_distance_part
+from .ops.neighborhoods import apply_operator, neighborhood_operator
+
+_F32 = jnp.float32
+
+__all__ = [
+    "SomSpec",
+    "grid_coordinates",
+    "chunk_data",
+    "make_epoch_fn",
+    "make_bmu_fn",
+    "make_quantization_stats_fn",
+    "make_topographic_stats_fn",
+]
+
+
+@dataclass(frozen=True)
+class SomSpec:
+    """Static (hashable) SOM configuration — everything that shapes the
+    compiled computation. Mirrors the reference constructor surface
+    (xpysom.py:73-82); array state (the codebook) lives outside."""
+
+    x: int
+    y: int
+    input_len: int
+    sigma: float
+    sigmaN: float
+    learning_rate: float
+    learning_rateN: float
+    decay: str = "exponential"
+    neighborhood: str = "gaussian"
+    std_coeff: float = 0.5
+    topology: str = "rectangular"
+    distance: str = "euclidean"
+    distance_kwargs: Tuple[Tuple[str, object], ...] = ()
+
+    compact_support: bool = False
+
+    @property
+    def xy(self) -> int:
+        return self.x * self.y
+
+    def distance_fn(self) -> DistanceFunction:
+        return DistanceFunction(self.distance, dict(self.distance_kwargs))
+
+
+def grid_coordinates(x: int, y: int, topology: str):
+    """Euclidean grid coordinate meshes ``(xx, yy)`` of shape ``(y, x)``
+    ('xy' meshgrid indexing), with the hexagonal row offset
+    ``xx[::-2] -= 0.5`` applied exactly as the reference does
+    (xpysom.py:201-206): every other row *counted from the end* is shifted
+    left half a cell."""
+    xx, yy = np.meshgrid(np.arange(x), np.arange(y))
+    xx = xx.astype(np.float64)
+    yy = yy.astype(np.float64)
+    if topology == "hexagonal":
+        xx[::-2] -= 0.5
+    return xx, yy
+
+
+def chunk_data(
+    data: np.ndarray, chunk: int, multiple_of: int = 1
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pad + reshape ``(N, D)`` data into static-shaped ``(C, chunk, D)``
+    chunks and a ``(C, chunk)`` float32 validity mask. ``C`` is rounded up
+    to a multiple of ``multiple_of`` (the number of data shards) so the
+    leading axis shards evenly."""
+    n, d = data.shape
+    c = max(1, -(-n // chunk))
+    c = -(-c // multiple_of) * multiple_of
+    total = c * chunk
+    padded = np.zeros((total, d), dtype=np.float32)
+    padded[:n] = data
+    mask = np.zeros((total,), dtype=np.float32)
+    mask[:n] = 1.0
+    return (
+        padded.reshape(c, chunk, d),
+        mask.reshape(c, chunk),
+        n,
+    )
+
+
+def _neighborhood_op(spec: SomSpec, sigma):
+    neigx = jnp.arange(spec.x, dtype=_F32)
+    neigy = jnp.arange(spec.y, dtype=_F32)
+    xx, yy = grid_coordinates(spec.x, spec.y, spec.topology)
+    return neighborhood_operator(
+        spec.neighborhood,
+        spec.topology,
+        neigx,
+        neigy,
+        jnp.asarray(xx, _F32),
+        jnp.asarray(yy, _F32),
+        spec.std_coeff,
+        spec.compact_support,
+        sigma,
+    )
+
+
+def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
+    """Flat BMU indices for one chunk: argmin over the (chunk, XY) distance
+    matrix (reference xpysom.py:410-417). First-index tie-breaking matches
+    NumPy/CuPy argmin."""
+    d = dist.flat(x, w_flat, w_sq)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
+    """Scan chunks, scatter-accumulating per-BMU sufficient statistics
+    ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero)."""
+
+    def body(carry, xs):
+        s, cnt = carry
+        x, m = xs
+        bmu = _bmu_chunk(dist, x, w_flat, w_sq)
+        s = s.at[bmu].add(x * m[:, None])
+        cnt = cnt.at[bmu].add(m)
+        return (s, cnt), None
+
+    d_dim = data.shape[-1]
+    init = (
+        jnp.zeros((xy, d_dim), dtype=_F32),
+        jnp.zeros((xy,), dtype=_F32),
+    )
+    (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+    return s, cnt
+
+
+def _update_from_stats(spec: SomSpec, w_flat, s, cnt, eta, sigma):
+    """Neighborhood-smoothed codebook update from global sufficient
+    statistics: ``W' = where(den ≠ 0, num / den, W)``
+    (reference xpysom.py:446-455,577). ``eta`` scales both num and den —
+    kept for exact semantic fidelity to the reference's merge rule."""
+    op = _neighborhood_op(spec, sigma)
+    num, den = apply_operator(op, s, cnt)
+    num = num * eta
+    den = den * eta
+    den = den[:, None]
+    return jnp.where(den != 0, num / den, w_flat)
+
+
+def _decays(spec: SomSpec, t, num_epochs: int):
+    decay = DECAY_REGISTRY[spec.decay]
+    eta = decay(spec.learning_rate, spec.learning_rateN, t, num_epochs)
+    sig = decay(spec.sigma, spec.sigmaN, t, num_epochs)
+    return eta, sig
+
+
+@lru_cache(maxsize=64)
+def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
+    """Compile one training epoch.
+
+    Returns ``epoch(w, data, mask, t) -> w'`` where ``w`` is the
+    ``(X, Y, D)`` float32 codebook, ``data``/``mask`` are the pre-chunked
+    ``(C, chunk, D)``/``(C, chunk)`` epoch inputs, and ``t`` is the (traced)
+    iteration index. With a mesh, the chunk axis is sharded over the
+    ``'data'`` axis and per-shard statistics are ``psum``-reduced on-ICI —
+    the TPU-native replacement for the reference's per-epoch Dask
+    ``delayed(sum)`` + driver ``compute`` barrier (xpysom.py:545-558)."""
+    dist = spec.distance_fn()
+    xy = spec.xy
+
+    def step(w, data, mask, t):
+        w_flat = w.reshape(xy, spec.input_len)
+        w_sq = (
+            jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+            if dist.can_cache
+            else None
+        )
+        eta, sig = _decays(spec, t, num_epochs)
+        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy)
+        if mesh is not None:
+            s = jax.lax.psum(s, "data")
+            cnt = jax.lax.psum(cnt, "data")
+        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
+        return new_flat.reshape(w.shape)
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=64)
+def make_bmu_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
+    """Compile BMU (winner) search over pre-chunked data:
+    ``bmu(w, data) -> (C, chunk) int32`` flat grid indices."""
+    dist = spec.distance_fn()
+    xy = spec.xy
+
+    def run(w, data):
+        w_flat = w.reshape(xy, spec.input_len)
+        w_sq = (
+            jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+            if dist.can_cache
+            else None
+        )
+
+        def body(_, x):
+            return None, _bmu_chunk(dist, x, w_flat, w_sq)
+
+        _, bmu = jax.lax.scan(body, None, data)
+        return bmu
+
+    if mesh is None:
+        return jax.jit(run)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
+def make_quantization_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
+    """Compile quantization-error statistics:
+    ``qstats(w, data, mask) -> (Σ‖x - W[bmu]‖, Σ mask)``.
+
+    Matches the reference's definition: BMU by *euclidean* distance
+    regardless of the activation distance (xpysom.py:632-645,673-707), then
+    the mean L2 norm of the residuals."""
+    xy = spec.xy
+
+    def run(w, data, mask):
+        w_flat = w.reshape(xy, spec.input_len)
+        w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+
+        def body(carry, xs):
+            tot, n = carry
+            x, m = xs
+            d = euclidean_squared_distance_part(x, w_flat, w_sq)
+            bmu = jnp.argmin(d, axis=1)
+            err = jnp.linalg.norm(x - w_flat[bmu], axis=1)
+            return (tot + jnp.sum(err * m), n + jnp.sum(m)), None
+
+        (tot, n), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)), (data, mask))
+        return tot, n
+
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_psum(w, data, mask):
+        tot, n = run(w, data, mask)
+        return jax.lax.psum(tot, "data"), jax.lax.psum(n, "data")
+
+    sharded = jax.shard_map(
+        run_psum,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
+def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
+    """Compile topographic-error statistics:
+    ``tstats(w, data, mask) -> (Σ errors, Σ mask)``.
+
+    Top-2 BMUs by euclidean distance (reference xpysom.py:731-734), then
+    rect adjacency ``|Δx| ≤ 1 ∧ |Δy| ≤ 1`` (xpysom.py:736-740) or hex
+    euclidean-offset distance > 1.5 (xpysom.py:741-746). The hex branch
+    indexes the ``(y, x)``-shaped coordinate mesh with ``[bx, by]`` exactly
+    as the reference does — self-consistent for the square maps it targets."""
+    xy = spec.xy
+    xx_np, yy_np = grid_coordinates(spec.x, spec.y, spec.topology)
+    xx = jnp.asarray(xx_np, _F32)
+    yy = jnp.asarray(yy_np, _F32)
+
+    def run(w, data, mask):
+        w_flat = w.reshape(xy, spec.input_len)
+        w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+
+        def body(carry, xs):
+            errs, n = carry
+            x, m = xs
+            d = euclidean_squared_distance_part(x, w_flat, w_sq)
+            _, idx2 = jax.lax.top_k(-d, 2)
+            b1x, b1y = idx2[:, 0] // spec.y, idx2[:, 0] % spec.y
+            b2x, b2y = idx2[:, 1] // spec.y, idx2[:, 1] % spec.y
+            if spec.topology == "rectangular":
+                bad = (jnp.abs(b1x - b2x) > 1) | (jnp.abs(b1y - b2y) > 1)
+            else:
+                dx = xx[b1x, b1y] - xx[b2x, b2y]
+                dy = yy[b1x, b1y] - yy[b2x, b2y]
+                bad = jnp.sqrt(dx * dx + dy * dy) > 1.5
+            return (errs + jnp.sum(bad.astype(_F32) * m), n + jnp.sum(m)), None
+
+        (errs, n), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0)), (data, mask)
+        )
+        return errs, n
+
+    if mesh is None:
+        return jax.jit(run)
+
+    def run_psum(w, data, mask):
+        errs, n = run(w, data, mask)
+        return jax.lax.psum(errs, "data"), jax.lax.psum(n, "data")
+
+    sharded = jax.shard_map(
+        run_psum,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

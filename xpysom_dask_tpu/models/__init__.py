@@ -1,0 +1,6 @@
+"""Model layer: the MiniSom/XPySom-compatible ``XPySom`` class and the
+NumPy golden reference used as the parity oracle."""
+
+from .som import XPySom
+
+__all__ = ["XPySom"]

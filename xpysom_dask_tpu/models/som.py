@@ -1,0 +1,502 @@
+"""MiniSom/XPySom-compatible batch SOM model on a jitted JAX core.
+
+API-parity rebuild of the reference ``XPySom`` class
+(``xpysom_dask/xpysom.py:72-892``): same constructor surface (xpysom.py:73-82),
+same public methods, same quirks where they are observable behavior
+(activation map is the *partial* squared distance for 'euclidean'; update
+merge rule ``where(den != 0, num/den, W)``; hexagonal ``xx[::-2] -= 0.5``
+offset; topographic-error thresholds; ``um/um.max()`` normalization;
+``iter_beg``/``iter_end`` segmented training as the checkpoint/resume API).
+
+What changed underneath:
+
+- the NumPy/CuPy ``xp`` backend kwarg becomes a jit-compiled functional core
+  (``xpysom_dask_tpu.core``) targeting XLA:TPU;
+- the inline Dask distribution branches (xpysom.py:545-558) become an
+  optional ``jax.sharding.Mesh`` with a ``'data'`` axis: pass ``mesh='auto'``
+  (or a mesh / a device count) to shard the sample axis over devices with
+  on-ICI ``psum`` reductions;
+- ``use_dask=True`` is accepted for source compatibility and maps to
+  ``mesh='auto'`` with a warning; ``xp=`` and ``dask_chunks=`` are accepted
+  and ignored.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Optional
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import core
+from ..core import SomSpec, chunk_data, grid_coordinates
+from ..ops.decays import DECAY_REGISTRY
+from ..ops.distances import DISTANCE_NAMES, DistanceFunction
+from ..parallel.mesh import (
+    data_sharding,
+    replicated_sharding,
+    resolve_mesh,
+)
+from ..utils.hw import default_n_parallel, round_up
+from ..utils.progress import ProgressReporter
+
+__all__ = ["XPySom"]
+
+_RECT_NEIGS = ("gaussian", "mexican_hat", "bubble", "triangle")
+_HEX_NEIGS = ("gaussian", "mexican_hat", "bubble")
+
+
+def _as_numpy_2d(data) -> np.ndarray:
+    """Coerce the input-data ladder of the reference (xpysom.py:487-510) —
+    cudf/cupy/dask variants are handled by duck-typing instead of imports:
+    anything exposing ``.compute()`` (dask collections) or ``.to_numpy()``
+    (pandas/cudf frames) is materialized, then cast to float32."""
+    if hasattr(data, "compute"):
+        data = data.compute()
+    if hasattr(data, "to_numpy"):
+        data = data.to_numpy()
+    arr = np.asarray(jax.device_get(data) if isinstance(data, jax.Array) else data)
+    return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+class XPySom:
+    def __init__(
+        self,
+        x,
+        y,
+        input_len,
+        sigma=0,
+        sigmaN=1,
+        learning_rate=0.5,
+        learning_rateN=0.01,
+        decay_function="exponential",
+        neighborhood_function="gaussian",
+        std_coeff=0.5,
+        topology="rectangular",
+        activation_distance="euclidean",
+        activation_distance_kwargs={},
+        random_seed=None,
+        n_parallel=0,
+        compact_support=False,
+        xp=None,
+        use_dask=False,
+        dask_chunks="auto",
+        mesh=None,
+    ):
+        """Initializes a Self Organizing Map.
+
+        Parameter semantics follow the reference constructor
+        (xpysom.py:73-253). TPU-specific additions:
+
+        mesh : None | 'auto' | int | jax.sharding.Mesh (default=None)
+            Data-parallel device mesh. 'auto' uses every local device;
+            an int uses that many; a Mesh must carry a 'data' axis.
+
+        Accepted for source compatibility and ignored: ``xp`` (the backend
+        is always XLA), ``dask_chunks``. ``use_dask=True`` maps to
+        ``mesh='auto'`` with a warning.
+        """
+        if sigma >= x or sigma >= y:
+            warn("Warning: sigma is too high for the dimension of the map.")
+
+        self._random_generator = np.random.RandomState(random_seed)
+
+        if xp is not None:
+            warn("xp= is ignored: computation always runs on the XLA backend.")
+        if use_dask:
+            warn("use_dask is deprecated: mapping to mesh='auto' (shard_map DP).")
+            if mesh is None:
+                mesh = "auto"
+        self.dask_chunks = dask_chunks  # accepted, unused
+
+        self._learning_rate = learning_rate
+        self._learning_rateN = learning_rateN
+
+        if sigma == 0:
+            self._sigma = min(x, y) / 2
+        else:
+            self._sigma = sigma
+        self._sigmaN = sigmaN
+        self._std_coeff = std_coeff
+        self._input_len = input_len
+        self._x = x
+        self._y = y
+
+        # Random init: uniform in [-1, 1), each code vector L2-normalized
+        # (reference xpysom.py:188-190). float64 until train() casts to f32.
+        self._weights = self._random_generator.rand(x, y, input_len) * 2 - 1
+        self._weights /= np.linalg.norm(self._weights, axis=-1, keepdims=True)
+
+        if topology not in ["hexagonal", "rectangular"]:
+            msg = "%s not supported only hexagonal and rectangular available"
+            raise ValueError(msg % topology)
+        self.topology = topology
+
+        # Euclidean coordinate meshes, shape (y, x), hex offset applied
+        # (reference xpysom.py:201-206).
+        self._xx, self._yy = grid_coordinates(x, y, topology)
+        self._neigx = np.arange(x)
+        self._neigy = np.arange(y)
+
+        if topology == "hexagonal" and neighborhood_function in ["triangle"]:
+            warn(
+                "triangle neighborhood function does not "
+                + "take in account hexagonal topology"
+            )
+
+        if decay_function not in DECAY_REGISTRY:
+            msg = "%s not supported. Functions available: %s"
+            raise ValueError(msg % (decay_function, ", ".join(DECAY_REGISTRY.keys())))
+        self._decay_function_name = decay_function
+
+        self.compact_support = compact_support
+
+        available = _RECT_NEIGS if topology == "rectangular" else _HEX_NEIGS
+        if neighborhood_function not in available:
+            msg = "%s not supported. Functions available: %s"
+            raise ValueError(msg % (neighborhood_function, ", ".join(available)))
+        self.neighborhood_func_name = neighborhood_function
+
+        # Validates the distance name (raises ValueError like
+        # distances.py:172-175).
+        self._activation_distance_name = activation_distance
+        self._activation_distance_kwargs = dict(activation_distance_kwargs)
+        DistanceFunction(activation_distance, self._activation_distance_kwargs)
+
+        if n_parallel == 0:
+            n_parallel = default_n_parallel(x * y)
+        self._n_parallel = int(n_parallel)
+
+        self._mesh_arg = mesh
+        self._mesh = resolve_mesh(mesh)
+
+    # -- static spec / compiled-fn plumbing --------------------------------
+
+    @property
+    def _spec(self) -> SomSpec:
+        return SomSpec(
+            x=self._x,
+            y=self._y,
+            input_len=self._input_len,
+            sigma=float(self._sigma),
+            sigmaN=float(self._sigmaN),
+            learning_rate=float(self._learning_rate),
+            learning_rateN=float(self._learning_rateN),
+            decay=self._decay_function_name,
+            neighborhood=self.neighborhood_func_name,
+            std_coeff=float(self._std_coeff),
+            topology=self.topology,
+            distance=self._activation_distance_name,
+            distance_kwargs=tuple(sorted(self._activation_distance_kwargs.items())),
+            compact_support=bool(self.compact_support),
+        )
+
+    def _n_shards(self) -> int:
+        return self._mesh.devices.size if self._mesh is not None else 1
+
+    def _chunked(self, data2d: np.ndarray):
+        """Pad + chunk host data and place it on device(s)."""
+        n = data2d.shape[0]
+        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=self._n_shards())
+        if self._mesh is not None:
+            sh = data_sharding(self._mesh)
+            return jax.device_put(chunks, sh), jax.device_put(mask, sh), n
+        return jnp.asarray(chunks), jnp.asarray(mask), n
+
+    def _device_weights(self):
+        w = np.asarray(self._weights, dtype=np.float32)
+        if self._mesh is not None:
+            return jax.device_put(w, replicated_sharding(self._mesh))
+        return jnp.asarray(w)
+
+    # -- introspection ------------------------------------------------------
+
+    def get_weights(self):
+        """Returns the weights of the neural network."""
+        return self._weights
+
+    def get_euclidean_coordinates(self):
+        """Euclidean-plane positions of the neurons as two meshgrids
+        (reference xpysom.py:291-305)."""
+        return self._xx.T, self._yy.T
+
+    def convert_map_to_euclidean(self, xy):
+        """Map coordinates → euclidean coordinates for the chosen topology
+        (reference xpysom.py:308-320)."""
+        return self._xx.T[xy], self._yy.T[xy]
+
+    # -- activation / winner -------------------------------------------------
+
+    def activate(self, x):
+        """Activation map for x: element (n, j) is the response of flat
+        neuron j to sample n. For the default 'euclidean' this is the
+        *partial* squared distance (argmin-equivalent; reference
+        xpysom.py:323-354, distances.py:163)."""
+        x2d = np.atleast_2d(_as_numpy_2d(np.asarray(x, dtype=np.float32)))
+        dist = self._spec.distance_fn()
+        w_flat = np.asarray(self._weights, dtype=np.float32).reshape(
+            -1, self._input_len
+        )
+        out = dist.flat(jnp.asarray(x2d), jnp.asarray(w_flat))
+        return np.asarray(out)
+
+    def _winner_flat(self, data2d: np.ndarray) -> np.ndarray:
+        chunks, _, n = self._chunked(data2d)
+        bmu_fn = core.make_bmu_fn(self._spec, self._mesh)
+        bmu = bmu_fn(self._device_weights(), chunks)
+        return np.asarray(bmu).reshape(-1)[:n]
+
+    def winner(self, x):
+        """Coordinates of the winning neurons for samples x
+        (reference xpysom.py:370-408)."""
+        arr = _as_numpy_2d(np.asarray(x, dtype=np.float32))
+        single = arr.ndim <= 1
+        data2d = np.atleast_2d(arr)
+        flat = self._winner_flat(data2d)
+        wx, wy = flat // self._y, flat % self._y
+        if single:
+            return (int(wx[0]), int(wy[0]))
+        return [(int(a), int(b)) for a, b in zip(wx, wy)]
+
+    def predict(self, data):
+        """Flat (raveled) winner index per sample (reference
+        xpysom.py:608-617)."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        return self._winner_flat(data2d).astype(np.int64)
+
+    # -- training ------------------------------------------------------------
+
+    def train(self, data, num_epochs, iter_beg=0, iter_end=None, verbose=False):
+        """Trains the SOM (reference xpysom.py:458-594).
+
+        ``iter_beg``/``iter_end`` run epochs ``[iter_beg, iter_end)`` of a
+        ``num_epochs``-epoch schedule — decays are computed against the
+        total, so segmented training (checkpoint/resume) composes exactly
+        like the reference's."""
+        if iter_end is None:
+            iter_end = num_epochs
+
+        data2d = _as_numpy_2d(data)
+        chunks, mask, n = self._chunked(data2d)
+        w = self._device_weights()
+
+        epoch_fn = core.make_epoch_fn(self._spec, num_epochs, self._mesh)
+
+        reporter = ProgressReporter(num_epochs * n) if verbose else None
+        if reporter:
+            reporter.start()
+
+        for t in range(iter_beg, iter_end):
+            w = epoch_fn(w, chunks, mask, jnp.int32(t))
+            if reporter:
+                reporter.update(t * n + n - 1)
+
+        self._weights = np.asarray(jax.device_get(w))
+
+        if verbose:
+            print("\n quantization error:", self.quantization_error(data2d))
+
+        return self
+
+    def train_batch(self, data, num_iteration, verbose=False):
+        """Compatibility with MiniSom, alias for train."""
+        return self.train(data, num_iteration, verbose=verbose)
+
+    def train_random(self, data, num_iteration, verbose=False):
+        """Compatibility with MiniSom, alias for train."""
+        print(
+            "WARNING: due to batch SOM algorithm, random order is not "
+            "supported. Falling back to train_batch."
+        )
+        return self.train(data, num_iteration, verbose=verbose)
+
+    # -- quantization / metrics ----------------------------------------------
+
+    def _check_input_len(self, data):
+        data_len = len(data[0])
+        if self._input_len != data_len:
+            msg = "Received %d features, expected %d." % (data_len, self._input_len)
+            raise ValueError(msg)
+
+    def quantization(self, data):
+        """Code book vector of the winning neuron for each sample
+        (reference xpysom.py:620-645). BMU by euclidean distance regardless
+        of the activation distance, matching the reference."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        spec = self._spec
+        eucl_spec = (
+            spec
+            if spec.distance == "euclidean"
+            else SomSpec(**{**spec.__dict__, "distance": "euclidean", "distance_kwargs": ()})
+        )
+        chunks, _, n = self._chunked(data2d)
+        bmu_fn = core.make_bmu_fn(eucl_spec, self._mesh)
+        bmu = np.asarray(bmu_fn(self._device_weights(), chunks)).reshape(-1)[:n]
+        return self._weights.reshape(-1, self._input_len)[bmu]
+
+    def distance_from_weights(self, data, weights=None):
+        """Full (N, X·Y) euclidean distance matrix (reference
+        xpysom.py:647-671)."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        w_flat = np.asarray(self._weights, dtype=np.float32).reshape(
+            -1, self._input_len
+        )
+        from ..ops.distances import euclidean_distance
+
+        return np.asarray(euclidean_distance(jnp.asarray(data2d), jnp.asarray(w_flat)))
+
+    def quantization_error(self, data):
+        """Mean distance between samples and their BMU code vectors
+        (reference xpysom.py:673-707)."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        chunks, mask, _ = self._chunked(data2d)
+        fn = core.make_quantization_stats_fn(self._spec, self._mesh)
+        tot, n = fn(self._device_weights(), chunks, mask)
+        return float(tot) / float(n)
+
+    def topographic_error(self, data):
+        """Fraction of samples whose two best-matching units are not
+        adjacent (reference xpysom.py:709-746)."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        total_neurons = np.prod(self._weights.shape)
+        if total_neurons == 1:
+            warn("The topographic error is not defined for a 1-by-1 map.")
+            return np.nan
+        chunks, mask, _ = self._chunked(data2d)
+        fn = core.make_topographic_stats_fn(self._spec, self._mesh)
+        errs, n = fn(self._device_weights(), chunks, mask)
+        return float(errs) / float(n)
+
+    # -- weight initialization ------------------------------------------------
+
+    def random_weights_init(self, data):
+        """Init weights by picking random data samples (reference
+        xpysom.py:749-759); same nditer order and RNG stream."""
+        self._check_input_len(data)
+        data = np.asarray(data)
+        it = np.nditer(self._weights[:, :, 0], flags=["multi_index"])
+        while not it.finished:
+            rand_i = self._random_generator.randint(len(data))
+            self._weights[it.multi_index] = data[rand_i]
+            it.iternext()
+
+    def pca_weights_init(self, data):
+        """Init weights spanning the first two principal components
+        (reference xpysom.py:762-785, incl. its row-indexing of the
+        eigenvector matrix, which the parity tests pin down)."""
+        if self._input_len == 1:
+            msg = "The data needs at least 2 features for pca initialization"
+            raise ValueError(msg)
+        self._check_input_len(data)
+        if len(self._neigx) == 1 or len(self._neigy) == 1:
+            msg = (
+                "PCA initialization inappropriate:"
+                + "One of the dimensions of the map is 1."
+            )
+            warn(msg)
+        pc_length, pc = np.linalg.eig(np.cov(np.transpose(data)))
+        pc_order = np.argsort(-pc_length)
+        for i, c1 in enumerate(np.linspace(-1, 1, len(self._neigx))):
+            for j, c2 in enumerate(np.linspace(-1, 1, len(self._neigy))):
+                self._weights[i, j] = c1 * pc[pc_order[0]] + c2 * pc[pc_order[1]]
+
+    # -- analysis -------------------------------------------------------------
+
+    def distance_map(self):
+        """U-matrix: normalized sum of distances between each neuron and its
+        neighbors (reference xpysom.py:788-817), vectorized over the grid:
+        one shifted-difference norm per neighbor offset instead of a Python
+        loop over cells."""
+        w = np.asarray(self._weights, dtype=np.float64)
+        x_dim, y_dim = w.shape[0], w.shape[1]
+
+        ii = [[0, -1, -1, -1, 0, 1, 1, 1]] * 2
+        jj = [[-1, -1, 0, 1, 1, 1, 0, -1]] * 2
+        if self.topology == "hexagonal":
+            ii = [[1, 1, 1, 0, -1, 0], [0, 1, 0, -1, -1, -1]]
+            jj = [[1, 0, -1, -1, 0, 1], [1, 0, -1, -1, 0, 1]]
+
+        def offset_norms(i, j):
+            out = np.zeros((x_dim, y_dim))
+            x0, x1 = max(0, -i), x_dim - max(0, i)
+            y0, y1 = max(0, -j), y_dim - max(0, j)
+            if x0 < x1 and y0 < y1:
+                out[x0:x1, y0:y1] = np.linalg.norm(
+                    w[x0:x1, y0:y1] - w[x0 + i : x1 + i, y0 + j : y1 + j], axis=-1
+                )
+            return out
+
+        sums = [
+            np.sum([offset_norms(i, j) for i, j in zip(ii[e], jj[e])], axis=0)
+            for e in (0, 1)
+        ]
+        if self.topology == "hexagonal":
+            # e = (y % 2 == 0) selects the offset set per column parity
+            # (reference xpysom.py:809-810).
+            even_col = (np.arange(y_dim) % 2 == 0)[None, :]
+            um = np.where(even_col, sums[1], sums[0])
+        else:
+            um = sums[0]
+        return um / um.max()
+
+    def activation_response(self, data):
+        """Counts how many times each neuron wins (reference
+        xpysom.py:819-829)."""
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        a = np.zeros((self._weights.shape[0], self._weights.shape[1]))
+        flat = self._winner_flat(data2d)
+        np.add.at(a, (flat // self._y, flat % self._y), 1)
+        return a
+
+    def win_map(self, data):
+        """Dict (i, j) → list of samples mapped there (reference
+        xpysom.py:831-840)."""
+        self._check_input_len(data)
+        winmap = defaultdict(list)
+        winners = self.winner(data)
+        for x, win in zip(data, winners):
+            winmap[win].append(x)
+        return winmap
+
+    def labels_map(self, data, labels):
+        """Dict (i, j) → Counter of labels mapped there (reference
+        xpysom.py:842-865)."""
+        self._check_input_len(data)
+        if not len(data) == len(labels):
+            raise ValueError("data and labels must have the same length.")
+        winmap = defaultdict(list)
+        winners = self.winner(data)
+        for win, l in zip(winners, labels):
+            winmap[win].append(l)
+        for position in winmap:
+            winmap[position] = Counter(winmap[position])
+        return winmap
+
+    # -- serialization ---------------------------------------------------------
+
+    def __getstate__(self):
+        """Pickle support (reference xpysom.py:868-878): drop live device
+        handles; everything else is plain host state."""
+        state = self.__dict__.copy()
+        state["_mesh"] = None  # meshes hold device handles; re-resolve on load
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        try:
+            self._mesh = resolve_mesh(self._mesh_arg)
+        except Exception:
+            # Loading host may have fewer devices than the saving host —
+            # fall back to single-device, mirroring the reference's
+            # backend-fallback on unpickle (xpysom.py:880-892).
+            self._mesh = None
+            self._mesh_arg = None

@@ -1,0 +1,67 @@
+"""Device-mesh construction for data-parallel SOM training.
+
+The reference's distribution layer is ~40 lines of inline Dask branches
+(``xpysom_dask/xpysom.py:545-558,614-617,693-696``): per-chunk delayed
+tasks, codebook re-shipped to every task, accumulators reduced on the
+driver each epoch. Here distribution is a real layer: a 1-D
+``jax.sharding.Mesh`` with a ``'data'`` axis; epoch steps are
+``shard_map``-wrapped pure functions (see ``core.py``) whose per-shard
+sufficient statistics are ``psum``-reduced over ICI/DCN with zero driver
+involvement.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_data_mesh", "resolve_mesh", "data_sharding", "replicated_sharding"]
+
+DATA_AXIS = "data"
+
+
+def make_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Create a 1-D mesh over ``n_devices`` (default: all local devices)
+    with the single axis ``'data'``."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def resolve_mesh(mesh: Union[None, bool, int, str, Mesh]) -> Optional[Mesh]:
+    """Normalize the user-facing ``mesh`` argument:
+
+    - ``None``/``False`` → single-device execution (no mesh),
+    - ``True``/``'auto'`` → mesh over all local devices,
+    - int ``k`` → mesh over the first ``k`` local devices,
+    - a ``jax.sharding.Mesh`` → used as-is (must carry a ``'data'`` axis).
+    """
+    if mesh is None or mesh is False:
+        return None
+    if mesh is True or (isinstance(mesh, str) and mesh == "auto"):
+        return make_data_mesh()
+    if isinstance(mesh, int):
+        return make_data_mesh(mesh)
+    if isinstance(mesh, Mesh):
+        if DATA_AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a {DATA_AXIS!r} axis, got {mesh.axis_names}")
+        return mesh
+    raise TypeError(f"cannot interpret mesh argument {mesh!r}")
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits the leading (chunk) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

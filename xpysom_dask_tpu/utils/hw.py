@@ -1,0 +1,57 @@
+"""Hardware introspection and mini-batch auto-sizing.
+
+TPU-native counterpart of ``xpysom_dask/utils.py`` (``find_max_cuda_threads``
+/ ``find_cpu_cores``) and the ``n_parallel`` auto-sizing logic
+(xpysom.py:242-251). On TPU the right sizing target is not thread residency
+but keeping the MXU fed while bounding the transient ``(chunk, XY)``
+distance matrix: we budget a fixed element count for that matrix and derive
+the chunk from the grid size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = [
+    "find_cpu_cores",
+    "default_n_parallel",
+    "backend_kind",
+    "round_up",
+]
+
+# Distance-matrix element budget per chunk. 2^24 fp32 elements = 64 MB HBM
+# transient on accelerators; scaled down on CPU hosts.
+_ACCEL_BUDGET = 1 << 24
+_CPU_BUDGET = 1 << 20
+
+
+def find_cpu_cores() -> int:
+    """Number of host CPU cores (reference utils.py:15-20)."""
+    return os.cpu_count() or 1
+
+
+def backend_kind() -> str:
+    """'tpu', 'gpu' or 'cpu' for the default JAX backend."""
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def default_n_parallel(xy: int, backend: str | None = None) -> int:
+    """Auto-size the mini-batch (samples per chunk) like the reference's
+    ``n_parallel`` default (xpysom.py:242-251), but budgeted against the
+    transient ``(chunk, XY)`` distance matrix instead of CUDA thread
+    residency. Clamped to [256, 65536] and rounded to a multiple of 256 so
+    chunks tile the VPU/MXU cleanly."""
+    backend = backend or backend_kind()
+    budget = _ACCEL_BUDGET if backend in ("tpu", "gpu") else _CPU_BUDGET
+    chunk = budget // max(xy, 1)
+    chunk = max(256, min(65536, chunk))
+    return round_up(chunk, 256)

@@ -1,0 +1,43 @@
+"""Training progress / ETA reporting.
+
+Rebuild of the reference progress bar (``xpysom_dask/xpysom.py:47-69``)
+without the module-global timer state: ``ProgressReporter`` is an object so
+concurrent trainings don't clobber each other's clocks. Output format is
+identical: ``[ t / T ] p% - <elapsed> elapsed - <left> left``.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from sys import stdout
+from time import time
+
+__all__ = ["ProgressReporter"]
+
+
+class ProgressReporter:
+    def __init__(self, total: int):
+        self.total = total
+        self.digits = len(str(total))
+        self.beginning = None
+
+    def start(self):
+        self.beginning = time()
+        stdout.write(
+            "\r [ {s:{d}} / {T} ] {s:3.0f}% - ? it/s".format(
+                T=self.total, d=self.digits, s=0
+            )
+        )
+
+    def update(self, t: int):
+        if self.beginning is None:
+            self.start()
+        elapsed = time() - self.beginning
+        sec_left = ((self.total - t + 1) * elapsed) / (t + 1)
+        time_left = str(timedelta(seconds=sec_left))[:7]
+        time_elapsed = str(timedelta(seconds=elapsed))[:7]
+        progress = "\r [ {t:{d}} / {T} ]".format(t=t + 1, d=self.digits, T=self.total)
+        progress += " {p:3.0f}%".format(p=100 * (t + 1) / self.total)
+        progress += " - {} elapsed ".format(time_elapsed)
+        progress += " - {} left ".format(time_left)
+        stdout.write(progress)
