@@ -1,0 +1,71 @@
+"""Pallas TPU kernel correctness in interpreter mode (runs on the CPU test
+platform; the same kernels compile via Mosaic on real TPUs — see
+.claude/skills/verify/SKILL.md for the on-hardware drive)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+from xpysom_dask_tpu.ops.pallas import manhattan as pl_manhattan
+
+
+@pytest.mark.parametrize(
+    "n,xy,d",
+    [
+        (300, 333, 7),  # ragged everything (exercises padding)
+        (256, 2048, 64),  # exact tile fit
+        (8, 25, 1),  # tiny 5x5x1 fixture shape
+        (1000, 4100, 16),  # codebook just over one lane tile
+    ],
+)
+def test_bmu_euclidean_matches_numpy(n, xy, d):
+    rng = np.random.RandomState(0)
+    x = rng.rand(n, d).astype(np.float32)
+    w = rng.rand(xy, d).astype(np.float32)
+    idx, val = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    dref = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
+    np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-5, atol=1e-5)
+
+
+def test_bmu_first_index_tie_breaking():
+    # identical codebook rows: argmin must pick the first (NumPy semantics)
+    x = np.array([[1.0, 2.0], [0.0, 0.0]], dtype=np.float32)
+    w = np.tile(np.array([[1.0, 2.0]], dtype=np.float32), (7, 1))
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), [0, 0])
+
+
+def test_bmu_with_cached_wsq():
+    rng = np.random.RandomState(1)
+    x = rng.rand(64, 5).astype(np.float32)
+    w = rng.rand(70, 5).astype(np.float32)
+    wsq = (w**2).sum(1, keepdims=True).astype(np.float32)
+    i1, v1 = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    i2, v2 = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(wsq), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,xy,d", [(100, 256, 100), (33, 257, 5)])
+def test_manhattan_matches_numpy(n, xy, d):
+    rng = np.random.RandomState(2)
+    x = rng.rand(n, d).astype(np.float32)
+    w = rng.rand(xy, d).astype(np.float32)
+    got = pl_manhattan.manhattan_distance(
+        jnp.asarray(x), jnp.asarray(w), interpret=True
+    )
+    want = np.abs(x[:, None, :].astype(np.float64) - w[None, :, :]).sum(2)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_supported_gating_off_tpu():
+    # On the CPU test platform the fused path must decline (XLA fallback).
+    assert not pl_bmu.supported()
+    x = jnp.ones((4, 8))
+    assert not pl_manhattan.supported(x, x)

@@ -148,10 +148,33 @@ def _neighborhood_op(spec: SomSpec, sigma):
     )
 
 
+def _use_pallas_bmu(dist: DistanceFunction) -> bool:
+    """The fused Pallas BMU kernel replaces distance+argmin for the
+    euclidean activation on TPU backends (trace-time decision). Set
+    XPYSOM_TPU_NO_PALLAS=1 to force the plain-XLA formulation (the
+    reference's ``_no_opt`` pattern)."""
+    import os
+
+    if os.environ.get("XPYSOM_TPU_NO_PALLAS"):
+        return False
+    if dist.name != "euclidean":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
-    """Flat BMU indices for one chunk: argmin over the (chunk, XY) distance
-    matrix (reference xpysom.py:410-417). First-index tie-breaking matches
-    NumPy/CuPy argmin."""
+    """Flat BMU indices for one chunk (reference xpysom.py:410-417).
+    First-index tie-breaking matches NumPy/CuPy argmin. On TPU with the
+    euclidean activation this is the fused Pallas kernel (distance tile
+    never leaves VMEM); otherwise distance matrix + argmin in XLA."""
+    if _use_pallas_bmu(dist):
+        from .ops.pallas.bmu import bmu_euclidean
+
+        idx, _ = bmu_euclidean(x, w_flat, w_sq)
+        return idx
     d = dist.flat(x, w_flat, w_sq)
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
@@ -197,17 +220,11 @@ def _decays(spec: SomSpec, t, num_epochs: int):
     return eta, sig
 
 
-@lru_cache(maxsize=64)
-def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
-    """Compile one training epoch.
-
-    Returns ``epoch(w, data, mask, t) -> w'`` where ``w`` is the
-    ``(X, Y, D)`` float32 codebook, ``data``/``mask`` are the pre-chunked
-    ``(C, chunk, D)``/``(C, chunk)`` epoch inputs, and ``t`` is the (traced)
-    iteration index. With a mesh, the chunk axis is sharded over the
-    ``'data'`` axis and per-shard statistics are ``psum``-reduced on-ICI —
-    the TPU-native replacement for the reference's per-epoch Dask
-    ``delayed(sum)`` + driver ``compute`` barrier (xpysom.py:545-558)."""
+def make_epoch_step(spec: SomSpec, num_epochs: int, psum_axis: Optional[str] = None):
+    """Build the *pure* (un-jitted) epoch step
+    ``step(w, data, mask, t) -> w'``. When ``psum_axis`` is given the
+    per-shard sufficient statistics are ``psum``-reduced over that mesh
+    axis (for use under ``shard_map``)."""
     dist = spec.distance_fn()
     xy = spec.xy
 
@@ -220,14 +237,30 @@ def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
         )
         eta, sig = _decays(spec, t, num_epochs)
         s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy)
-        if mesh is not None:
-            s = jax.lax.psum(s, "data")
-            cnt = jax.lax.psum(cnt, "data")
+        if psum_axis is not None:
+            s = jax.lax.psum(s, psum_axis)
+            cnt = jax.lax.psum(cnt, psum_axis)
         new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
         return new_flat.reshape(w.shape)
 
+    return step
+
+
+@lru_cache(maxsize=64)
+def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
+    """Compile one training epoch.
+
+    Returns ``epoch(w, data, mask, t) -> w'`` where ``w`` is the
+    ``(X, Y, D)`` float32 codebook, ``data``/``mask`` are the pre-chunked
+    ``(C, chunk, D)``/``(C, chunk)`` epoch inputs, and ``t`` is the (traced)
+    iteration index. With a mesh, the chunk axis is sharded over the
+    ``'data'`` axis and per-shard statistics are ``psum``-reduced on-ICI —
+    the TPU-native replacement for the reference's per-epoch Dask
+    ``delayed(sum)`` + driver ``compute`` barrier (xpysom.py:545-558)."""
     if mesh is None:
+        step = make_epoch_step(spec, num_epochs)
         return jax.jit(step, donate_argnums=(0,))
+    step = make_epoch_step(spec, num_epochs, psum_axis="data")
 
     sharded = jax.shard_map(
         step,
@@ -282,6 +315,7 @@ def make_quantization_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     regardless of the activation distance (xpysom.py:632-645,673-707), then
     the mean L2 norm of the residuals."""
     xy = spec.xy
+    eucl = DistanceFunction("euclidean")
 
     def run(w, data, mask):
         w_flat = w.reshape(xy, spec.input_len)
@@ -290,8 +324,7 @@ def make_quantization_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
         def body(carry, xs):
             tot, n = carry
             x, m = xs
-            d = euclidean_squared_distance_part(x, w_flat, w_sq)
-            bmu = jnp.argmin(d, axis=1)
+            bmu = _bmu_chunk(eucl, x, w_flat, w_sq)
             err = jnp.linalg.norm(x - w_flat[bmu], axis=1)
             return (tot + jnp.sum(err * m), n + jnp.sum(m)), None
 

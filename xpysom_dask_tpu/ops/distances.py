@@ -33,6 +33,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# Distance matmuls run at HIGHEST precision: the BMU argmin is sensitive to
+# the bf16 default on TPU MXUs (~2% flipped winners, QE off by ~2e-5 on the
+# 128x128x64 workload), while these GEMMs are HBM-bound, not MXU-bound, so
+# full fp32 accuracy costs nothing measurable.
+_PRECISION = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "euclidean_squared_distance_part",
     "euclidean_squared_distance",
@@ -59,7 +65,7 @@ def euclidean_squared_distance_part(x, w, w_sq=None):
     full squared distance; reference distances.py:11-23)."""
     if w_sq is None:
         w_sq = _w_sq(w)
-    cross = jnp.dot(x, w.T, preferred_element_type=_F32)
+    cross = jnp.dot(x, w.T, preferred_element_type=_F32, precision=_PRECISION)
     return -2.0 * cross + w_sq.T
 
 
@@ -84,7 +90,7 @@ def cosine_distance(x, w, w_sq=None):
     if w_sq is None:
         w_sq = _w_sq(w)
     x_sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
-    num = jnp.dot(x, w.T, preferred_element_type=_F32)
+    num = jnp.dot(x, w.T, preferred_element_type=_F32, precision=_PRECISION)
     denum = jnp.sqrt(x_sq * w_sq.T)
     similarity = jnp.nan_to_num(num / denum)
     return 1.0 - similarity
@@ -109,7 +115,8 @@ def norm_p_power_distance_even(x, w, p=2):
     for e in range(p + 1):
         sign = -1.0 if e % 2 == 1 else 1.0
         acc = acc + sign * k * jnp.dot(
-            x ** (p - e), (w**e).T, preferred_element_type=_F32
+            x ** (p - e), (w**e).T, preferred_element_type=_F32,
+            precision=_PRECISION,
         )
         k = (k * (p - e)) // (e + 1)
     return acc
