@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end SOM training benchmark CLI.
+
+No counterpart in the reference (its benchmarks only cover kernels); this
+measures what actually matters — samples/sec of the full training step —
+across configurable shapes, including the BASELINE.md north-star shape
+(128×128 codebook, D=64).
+"""
+
+import argparse
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from benchmarks.bench_utils import bench  # noqa: E402
+from xpysom_dask_tpu.core import SomSpec, chunk_data, make_epoch_fn  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-x", type=int, default=128)
+    ap.add_argument("-y", type=int, default=128)
+    ap.add_argument("-d", type=int, default=64)
+    ap.add_argument("-n", type=int, default=1 << 18, help="samples per epoch")
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("-r", type=int, default=5)
+    ap.add_argument("--neighborhood", default="gaussian")
+    ap.add_argument("--topology", default="rectangular")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="data-parallel over this many devices (0 = off)")
+    args = ap.parse_args()
+
+    spec = SomSpec(
+        x=args.x,
+        y=args.y,
+        input_len=args.d,
+        sigma=min(args.x, args.y) / 2,
+        sigmaN=1.0,
+        learning_rate=0.5,
+        learning_rateN=0.01,
+        neighborhood=args.neighborhood,
+        topology=args.topology,
+    )
+    rng = np.random.RandomState(0)
+    mesh = None
+    n_shards = 1
+    if args.mesh:
+        from xpysom_dask_tpu.parallel.mesh import make_data_mesh
+
+        mesh = make_data_mesh(args.mesh)
+        n_shards = args.mesh
+
+    chunks, mask, _ = chunk_data(
+        rng.rand(args.n, args.d).astype(np.float32), args.chunk, multiple_of=n_shards
+    )
+    if mesh is not None:
+        from xpysom_dask_tpu.parallel.mesh import data_sharding, replicated_sharding
+
+        chunks = jax.device_put(chunks, data_sharding(mesh))
+        mask = jax.device_put(mask, data_sharding(mesh))
+        w = jax.device_put(
+            rng.rand(args.x, args.y, args.d).astype(np.float32),
+            replicated_sharding(mesh),
+        )
+    else:
+        chunks = jnp.asarray(chunks)
+        mask = jnp.asarray(mask)
+        w = jnp.asarray(rng.rand(args.x, args.y, args.d).astype(np.float32))
+
+    step = make_epoch_fn(spec, 100, mesh)
+
+    def run_epoch(w, chunks, mask):
+        # step donates its codebook buffer; hand it a fresh copy per rep
+        return step(jnp.array(w, copy=True), chunks, mask, jnp.int32(1))
+
+    print(
+        f"backend={jax.default_backend()} som={args.x}x{args.y}x{args.d} "
+        f"n={args.n} chunk={args.chunk} mesh={args.mesh or 'off'}"
+    )
+    res = bench(run_epoch, w, chunks, mask, name="epoch", reps=args.r)
+    print(res)
+    print(f"throughput: {args.n / res.mean:,.0f} samples/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+// Native streaming chunk loader for huge-N SOM training.
+//
+// Role: the host-side data engine feeding the TPU streaming pipeline
+// (xpysom_dask_tpu/parallel/pipeline.py). A background reader thread
+// streams fixed-size superbatches of float32 rows from a binary file into
+// a ring of pre-allocated buffers, so disk I/O overlaps device compute —
+// the TPU-native counterpart of the reference's Dask chunk shipping
+// (reference xpysom.py:545-558), where the "transport" was the user's
+// Dask cluster. Exposed to Python via a plain C ABI consumed with ctypes
+// (no pybind11 in this environment).
+//
+// Protocol per epoch:
+//   h = xs_open(path, n_rows, n_cols, superbatch_rows, n_buffers)
+//   loop: p = xs_acquire(h, &rows)   // blocks until a buffer is filled
+//         ... consume rows*n_cols floats at p ...
+//         xs_release(h)              // hand the buffer back to the reader
+//   until rows == 0                  // end of file
+//   xs_reset(h)                      // rewind for the next epoch
+//   xs_close(h)
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Buffer {
+  std::vector<float> data;
+  int64_t rows = 0;
+  bool full = false;
+};
+
+struct Loader {
+  std::string path;
+  int64_t n_rows, n_cols, sb_rows;
+  std::vector<Buffer> ring;
+  size_t head = 0;  // next buffer the consumer takes
+  size_t tail = 0;  // next buffer the reader fills
+  bool eof_queued = false;
+  bool stop = false;
+  bool consumer_holds = false;
+  std::string error;
+  std::mutex mu;
+  std::condition_variable cv_reader, cv_consumer;
+  std::thread reader;
+
+  Loader(const char* p, int64_t nr, int64_t nc, int64_t sb, int nbuf)
+      : path(p), n_rows(nr), n_cols(nc), sb_rows(sb), ring(nbuf) {
+    for (auto& b : ring) b.data.resize(static_cast<size_t>(sb) * nc);
+    start();
+  }
+
+  void start() {
+    stop = false;
+    eof_queued = false;
+    head = tail = 0;
+    for (auto& b : ring) b.full = false;
+    reader = std::thread([this] { this->run(); });
+  }
+
+  void run() {
+    FILE* f = std::fopen(path.c_str(), "rb");
+    if (!f) {
+      std::lock_guard<std::mutex> lk(mu);
+      error = "cannot open " + path;
+      eof_queued = true;
+      cv_consumer.notify_all();
+      return;
+    }
+    int64_t row = 0;
+    while (true) {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_reader.wait(lk, [this] { return stop || !ring[tail].full; });
+      if (stop) break;
+      Buffer& b = ring[tail];
+      lk.unlock();
+
+      int64_t want = std::min(sb_rows, n_rows - row);
+      int64_t got = 0;
+      if (want > 0) {
+        got = static_cast<int64_t>(std::fread(
+            b.data.data(), sizeof(float) * n_cols, want, f));
+      }
+      row += got;
+
+      lk.lock();
+      b.rows = got;
+      b.full = true;
+      bool done = (got == 0);
+      eof_queued = done;
+      tail = (tail + 1) % ring.size();
+      cv_consumer.notify_all();
+      if (done) break;
+    }
+    std::fclose(f);
+  }
+
+  // Returns pointer to the next filled buffer; rows==0 signals end of epoch.
+  const float* acquire(int64_t* rows) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_consumer.wait(lk, [this] { return ring[head].full || !error.empty(); });
+    if (!error.empty()) {
+      *rows = -1;
+      return nullptr;
+    }
+    consumer_holds = true;
+    *rows = ring[head].rows;
+    return ring[head].data.data();
+  }
+
+  void release() {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!consumer_holds) return;
+    ring[head].full = false;
+    ring[head].rows = 0;
+    head = (head + 1) % ring.size();
+    consumer_holds = false;
+    cv_reader.notify_all();
+  }
+
+  void reset() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+      cv_reader.notify_all();
+    }
+    if (reader.joinable()) reader.join();
+    start();
+  }
+
+  ~Loader() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+      cv_reader.notify_all();
+    }
+    if (reader.joinable()) reader.join();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* xs_open(const char* path, int64_t n_rows, int64_t n_cols,
+              int64_t superbatch_rows, int n_buffers) {
+  if (n_buffers < 2) n_buffers = 2;
+  try {
+    return new Loader(path, n_rows, n_cols, superbatch_rows, n_buffers);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+const float* xs_acquire(void* h, int64_t* rows) {
+  return static_cast<Loader*>(h)->acquire(rows);
+}
+
+void xs_release(void* h) { static_cast<Loader*>(h)->release(); }
+
+void xs_reset(void* h) { static_cast<Loader*>(h)->reset(); }
+
+void xs_close(void* h) { delete static_cast<Loader*>(h); }
+
+}  // extern "C"

@@ -1,0 +1,129 @@
+"""Streaming-pipeline and checkpoint tests: out-of-core training must be
+numerically identical to resident training (the epoch is a pure reduction
+over samples), and checkpoints must round-trip + resume exactly."""
+
+import numpy as np
+import pytest
+import jax
+
+from xpysom_dask_tpu import XPySom
+from xpysom_dask_tpu.parallel.pipeline import ArraySource, train_streaming
+
+
+def test_streaming_matches_resident():
+    rng = np.random.RandomState(0)
+    data = rng.rand(700, 5).astype(np.float32)
+    resident = XPySom(6, 6, 5, random_seed=3, n_parallel=64)
+    resident.train(data, 4)
+
+    streamed = XPySom(6, 6, 5, random_seed=3, n_parallel=64)
+    streamed.train(ArraySource(data), 4)
+    # superbatch boundaries only change fp accumulation order
+    np.testing.assert_allclose(
+        streamed._weights, resident._weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_streaming_memmap(tmp_path):
+    rng = np.random.RandomState(1)
+    data = rng.rand(300, 4).astype(np.float32)
+    f = tmp_path / "data.f32"
+    data.tofile(f)
+    mm = np.memmap(f, dtype=np.float32, mode="r", shape=(300, 4))
+
+    resident = XPySom(5, 5, 4, random_seed=2, n_parallel=64)
+    resident.train(data, 3)
+    streamed = XPySom(5, 5, 4, random_seed=2, n_parallel=64)
+    streamed.train(mm, 3)
+    np.testing.assert_allclose(
+        streamed._weights, resident._weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_streaming_small_superbatches():
+    """Many tiny superbatches (uneven tail) must fold identically."""
+    rng = np.random.RandomState(2)
+    data = rng.rand(333, 3).astype(np.float32)
+    som = XPySom(4, 4, 3, random_seed=1, n_parallel=32)
+    w = train_streaming(
+        som._spec,
+        np.asarray(som._weights, np.float32),
+        ArraySource(data),
+        3,
+        chunk=32,
+        superbatch_rows=50,
+    )
+    resident = XPySom(4, 4, 3, random_seed=1, n_parallel=32)
+    resident.train(data, 3)
+    np.testing.assert_allclose(w, resident._weights, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_sharded():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    rng = np.random.RandomState(3)
+    data = rng.rand(512, 4).astype(np.float32)
+    single = XPySom(5, 5, 4, random_seed=5, n_parallel=32)
+    single.train(data, 3)
+    sharded = XPySom(5, 5, 4, random_seed=5, n_parallel=32, mesh=4)
+    sharded.train(ArraySource(data), 3)
+    np.testing.assert_allclose(
+        sharded._weights, single._weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    rng = np.random.RandomState(4)
+    data = rng.rand(256, 3).astype(np.float32)
+
+    full = XPySom(5, 4, 3, sigma=1.5, random_seed=7)
+    full.train(data, 6)
+
+    half = XPySom(5, 4, 3, sigma=1.5, random_seed=7)
+    half.train(data, 6, iter_beg=0, iter_end=3)
+    ckpt = tmp_path / "som.npz"
+    half.save_checkpoint(ckpt, epoch=3)
+
+    resumed = XPySom.load_checkpoint(ckpt)
+    assert resumed._checkpoint_epoch == 3
+    np.testing.assert_array_equal(resumed._weights, half._weights)
+    resumed.train(data, 6, iter_beg=3, iter_end=6)
+    np.testing.assert_allclose(resumed._weights, full._weights, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_preserves_rng_stream(tmp_path):
+    som = XPySom(4, 4, 2, random_seed=9)
+    data = np.random.RandomState(0).rand(20, 2)
+    ckpt = tmp_path / "som.npz"
+    som.save_checkpoint(ckpt)
+    loaded = XPySom.load_checkpoint(ckpt)
+    # the RNG stream continues identically after reload
+    som.random_weights_init(data)
+    loaded.random_weights_init(data)
+    np.testing.assert_array_equal(som._weights, loaded._weights)
+
+
+def test_checkpoint_config_roundtrip(tmp_path):
+    som = XPySom(
+        3,
+        7,
+        2,
+        topology="hexagonal",
+        neighborhood_function="mexican_hat",
+        activation_distance="norm_p",
+        activation_distance_kwargs={"p": 4},
+        compact_support=True,
+        std_coeff=1.2,
+        decay_function="linear",
+        random_seed=1,
+    )
+    ckpt = tmp_path / "som.npz"
+    som.save_checkpoint(ckpt)
+    loaded = XPySom.load_checkpoint(ckpt)
+    assert loaded.topology == "hexagonal"
+    assert loaded.neighborhood_func_name == "mexican_hat"
+    assert loaded._activation_distance_name == "norm_p"
+    assert loaded._activation_distance_kwargs == {"p": 4}
+    assert loaded.compact_support is True
+    assert loaded._std_coeff == 1.2
+    assert loaded._decay_function_name == "linear"

@@ -247,6 +247,57 @@ def make_epoch_step(spec: SomSpec, num_epochs: int, psum_axis: Optional[str] = N
 
 
 @lru_cache(maxsize=64)
+def make_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
+    """Compile the accumulate-only half of an epoch:
+    ``stats(w, data, mask) -> (S, cnt)`` per-BMU sufficient statistics.
+    Used by the streaming pipeline to fold superbatches of an epoch that
+    does not fit on device (see ``parallel.pipeline``); with a mesh the
+    shard partials are psum-reduced so the result is replicated."""
+    dist = spec.distance_fn()
+    xy = spec.xy
+
+    def run(w, data, mask):
+        w_flat = w.reshape(xy, spec.input_len)
+        w_sq = (
+            jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+            if dist.can_cache
+            else None
+        )
+        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy)
+        if mesh is not None:
+            s = jax.lax.psum(s, "data")
+            cnt = jax.lax.psum(cnt, "data")
+        return s, cnt
+
+    if mesh is None:
+        return jax.jit(run)
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=64)
+def make_update_fn(spec: SomSpec, num_epochs: int):
+    """Compile the finalize half of an epoch:
+    ``update(w, S, cnt, t) -> w'`` — decays + neighborhood operator +
+    ``where(den != 0, num/den, W)`` merge. Tiny (O(XY²·D) worst case);
+    runs replicated."""
+
+    def run(w, s, cnt, t):
+        eta, sig = _decays(spec, t, num_epochs)
+        w_flat = w.reshape(spec.xy, spec.input_len)
+        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
+        return new_flat.reshape(w.shape)
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=64)
 def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
     """Compile one training epoch.
 

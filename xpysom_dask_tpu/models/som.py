@@ -281,6 +281,34 @@ class XPySom:
         if iter_end is None:
             iter_end = num_epochs
 
+        # Out-of-core path: DataSource-like objects and np.memmap stream
+        # superbatches through the device instead of residing on it
+        # (parallel.pipeline; replaces the reference's Dask-chunk shipping).
+        if hasattr(data, "superbatches") or isinstance(data, np.memmap):
+            from ..parallel.pipeline import ArraySource, train_streaming
+
+            source = data if hasattr(data, "superbatches") else ArraySource(data)
+            reporter = (
+                ProgressReporter(num_epochs * len(source)) if verbose else None
+            )
+            n_src = len(source)
+            self._weights = train_streaming(
+                self._spec,
+                np.asarray(self._weights, dtype=np.float32),
+                source,
+                num_epochs,
+                iter_beg=iter_beg,
+                iter_end=iter_end,
+                chunk=self._n_parallel,
+                mesh=self._mesh,
+                progress=(
+                    (lambda t: reporter.update(t * n_src + n_src - 1))
+                    if reporter
+                    else None
+                ),
+            )
+            return self
+
         data2d = _as_numpy_2d(data)
         chunks, mask, n = self._chunked(data2d)
         w = self._device_weights()
@@ -482,6 +510,21 @@ class XPySom:
         return winmap
 
     # -- serialization ---------------------------------------------------------
+
+    def save_checkpoint(self, path, *, epoch=None):
+        """Portable .npz checkpoint (codebook + RNG + config header); see
+        ``utils.serialization``. Pair with ``train(..., iter_beg=epoch)``
+        for resume — the reference's segmented-training mechanism
+        (xpysom.py:470-482)."""
+        from ..utils.serialization import save_checkpoint
+
+        save_checkpoint(self, path, epoch=epoch)
+
+    @classmethod
+    def load_checkpoint(cls, path, *, mesh=None):
+        from ..utils.serialization import load_checkpoint
+
+        return load_checkpoint(path, mesh=mesh)
 
     def __getstate__(self):
         """Pickle support (reference xpysom.py:868-878): drop live device

@@ -1,0 +1,197 @@
+"""Out-of-core input pipeline for huge-N training.
+
+The reference scales past memory via user-provided Dask arrays whose chunks
+are shipped to workers per epoch (reference xpysom.py:545-558). The
+TPU-native equivalent: stream *superbatches* from host (or disk, via
+``np.memmap`` or the native C++ chunk loader) into device memory while the
+previous superbatch computes, folding per-BMU sufficient statistics on
+device. Because the batch-SOM update is a pure reduction over samples
+(SURVEY.md §0 math), epoch = fold(stats over superbatches) → one codebook
+update; streaming is numerically identical to the resident path up to fp
+reassociation.
+
+Overlap comes from JAX async dispatch: ``device_put`` of superbatch ``k+1``
+and host-side disk reads run while the device crunches superbatch ``k``.
+
+At north-star scale (10⁸×64 fp32 = 25.6 GB) a v5 chip holds only a few
+superbatches; this pipeline keeps the MXU fed from host RAM/disk
+(SURVEY.md §7 risk "huge-N data motion").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Protocol, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SomSpec, chunk_data, make_stats_fn, make_update_fn
+from .mesh import data_sharding, replicated_sharding
+
+__all__ = [
+    "DataSource",
+    "ArraySource",
+    "FileSource",
+    "train_streaming",
+    "stats_streaming",
+]
+
+
+class DataSource(Protocol):
+    """Anything that can hand out ``(N_i, D)`` float32 superbatches."""
+
+    def __len__(self) -> int: ...
+
+    def superbatches(self, rows: int) -> Iterator[np.ndarray]: ...
+
+
+class ArraySource:
+    """DataSource over an in-memory array or ``np.memmap`` (rows are read
+    lazily, so a 25 GB memmap never fully materializes in host RAM)."""
+
+    def __init__(self, array):
+        if array.ndim != 2:
+            raise ValueError(f"expected (N, D) data, got shape {array.shape}")
+        self.array = array
+
+    def __len__(self):
+        return self.array.shape[0]
+
+    @property
+    def dim(self):
+        return self.array.shape[1]
+
+    def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        n = self.array.shape[0]
+        for start in range(0, n, rows):
+            block = np.asarray(self.array[start : start + rows], dtype=np.float32)
+            yield block
+
+
+class FileSource:
+    """DataSource over a raw binary file of float32 rows, backed by the
+    native C++ chunk loader (``csrc/chunkloader.cpp``): a background reader
+    thread double-buffers superbatches so disk I/O overlaps device compute.
+    Falls back to ``np.memmap`` slicing when the native library is
+    unavailable (no toolchain)."""
+
+    def __init__(self, path, n_rows: int, n_cols: int, *, n_buffers: int = 3):
+        self.path = str(path)
+        self.n_rows = int(n_rows)
+        self.n_cols = int(n_cols)
+        self.n_buffers = int(n_buffers)
+        from ..utils.native import load_chunkloader
+
+        self._lib = load_chunkloader()
+
+    def __len__(self):
+        return self.n_rows
+
+    @property
+    def dim(self):
+        return self.n_cols
+
+    def _superbatches_native(self, rows: int) -> Iterator[np.ndarray]:
+        import ctypes
+
+        lib = self._lib
+        h = lib.xs_open(
+            self.path.encode(), self.n_rows, self.n_cols, rows, self.n_buffers
+        )
+        if not h:
+            raise OSError(f"native loader failed to open {self.path}")
+        try:
+            while True:
+                got = ctypes.c_int64(0)
+                ptr = lib.xs_acquire(h, ctypes.byref(got))
+                if got.value < 0:
+                    raise OSError(f"native loader read error on {self.path}")
+                if got.value == 0:
+                    break
+                # Copy out of the ring buffer (the view dies at release);
+                # device_put would copy anyway.
+                block = np.ctypeslib.as_array(
+                    ptr, shape=(got.value, self.n_cols)
+                ).copy()
+                lib.xs_release(h)
+                yield block
+        finally:
+            lib.xs_close(h)
+
+    def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        if self._lib is not None:
+            yield from self._superbatches_native(rows)
+            return
+        mm = np.memmap(
+            self.path, dtype=np.float32, mode="r", shape=(self.n_rows, self.n_cols)
+        )
+        yield from ArraySource(mm).superbatches(rows)
+
+
+def _put(arr, mesh, sharded: bool):
+    if mesh is None:
+        return jnp.asarray(arr)
+    return jax.device_put(
+        arr, data_sharding(mesh) if sharded else replicated_sharding(mesh)
+    )
+
+
+def stats_streaming(
+    spec: SomSpec,
+    w,
+    source: DataSource,
+    chunk: int,
+    superbatch_rows: int,
+    mesh=None,
+):
+    """One epoch's sufficient statistics ``(S, cnt)`` folded over streamed
+    superbatches. ``w`` must already live on device (replicated)."""
+    stats_fn = make_stats_fn(spec, mesh)
+    n_shards = mesh.devices.size if mesh is not None else 1
+
+    @jax.jit
+    def fold(a, b):
+        return jax.tree.map(jnp.add, a, b)
+
+    s = cnt = None
+    for block in source.superbatches(superbatch_rows):
+        chunks, mask, _ = chunk_data(block, chunk, multiple_of=n_shards)
+        chunks = _put(chunks, mesh, sharded=True)
+        mask = _put(mask, mesh, sharded=True)
+        part = stats_fn(w, chunks, mask)
+        if s is None:
+            s, cnt = part
+        else:
+            s, cnt = fold((s, cnt), part)
+    if s is None:
+        raise ValueError("empty data source")
+    return s, cnt
+
+
+def train_streaming(
+    spec: SomSpec,
+    weights: np.ndarray,
+    source: DataSource,
+    num_epochs: int,
+    *,
+    iter_beg: int = 0,
+    iter_end: Optional[int] = None,
+    chunk: int = 8192,
+    superbatch_rows: int = 1 << 20,
+    mesh=None,
+    progress=None,
+) -> np.ndarray:
+    """Full streamed training: per epoch, fold stats over superbatches then
+    apply one codebook update (identical semantics to the resident path /
+    the reference's per-epoch accumulate-then-merge, xpysom.py:515-577)."""
+    if iter_end is None:
+        iter_end = num_epochs
+    update_fn = make_update_fn(spec, num_epochs)
+    w = _put(np.asarray(weights, dtype=np.float32), mesh, sharded=False)
+    for t in range(iter_beg, iter_end):
+        s, cnt = stats_streaming(spec, w, source, chunk, superbatch_rows, mesh)
+        w = update_fn(w, s, cnt, jnp.int32(t))
+        if progress is not None:
+            progress(t)
+    return np.asarray(jax.device_get(w))

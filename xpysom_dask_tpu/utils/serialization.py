@@ -1,0 +1,127 @@
+"""Checkpoint / serialization.
+
+The reference offers two mechanisms (SURVEY.md §5): (a) whole-object pickle
+with backend re-resolution on load (reference xpysom.py:868-892), and
+(b) segmented training (``iter_beg``/``iter_end``) as the resume API
+(xpysom.py:470-482). Both are preserved (pickle via ``XPySom.__getstate__``;
+segmentation in ``train``). This module adds what the reference lacks: a
+portable on-disk checkpoint format — a single ``.npz`` with the codebook,
+the RNG state and a JSON header of constructor parameters — that is
+robust across library versions (no Python object graphs) and suitable for
+per-epoch fault-tolerance checkpointing on long sharded runs.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+
+import numpy as np
+
+__all__ = ["save", "load", "save_checkpoint", "load_checkpoint"]
+
+_FORMAT_VERSION = 1
+
+
+def save(som, path):
+    """Pickle convenience (equivalent to the reference's pickle usage,
+    tests.py:145-150)."""
+    with open(path, "wb") as f:
+        pickle.dump(som, f)
+
+
+def load(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _config_dict(som):
+    return {
+        "x": som._x,
+        "y": som._y,
+        "input_len": som._input_len,
+        "sigma": float(som._sigma),
+        "sigmaN": float(som._sigmaN),
+        "learning_rate": float(som._learning_rate),
+        "learning_rateN": float(som._learning_rateN),
+        "decay_function": som._decay_function_name,
+        "neighborhood_function": som.neighborhood_func_name,
+        "std_coeff": float(som._std_coeff),
+        "topology": som.topology,
+        "activation_distance": som._activation_distance_name,
+        "activation_distance_kwargs": som._activation_distance_kwargs,
+        "compact_support": bool(som.compact_support),
+        "n_parallel": int(som._n_parallel),
+    }
+
+
+def save_checkpoint(som, path, *, epoch=None):
+    """Write a portable checkpoint: codebook + RNG state + config header.
+
+    ``epoch`` (optional) records how many epochs of the current schedule
+    have completed, so training can resume with
+    ``train(data, T, iter_beg=epoch)``.
+    """
+    header = {
+        "format_version": _FORMAT_VERSION,
+        "config": _config_dict(som),
+        "epoch": epoch,
+    }
+    rng_state = som._random_generator.get_state()
+    np.savez(
+        path,
+        header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        weights=np.asarray(som._weights),
+        rng_keys=np.asarray(rng_state[1]),
+        rng_meta=np.asarray(
+            [rng_state[2], rng_state[3], 0], dtype=np.float64
+        ),  # pos, has_gauss, pad
+        rng_gauss=np.asarray([rng_state[4]], dtype=np.float64),
+    )
+
+
+def load_checkpoint(path, *, mesh=None):
+    """Rebuild an ``XPySom`` from a checkpoint. ``mesh`` (optional) attaches
+    a device mesh on the loading host — like the reference's unpickle-time
+    backend re-resolution (xpysom.py:880-892), hardware is a property of
+    the host, not the checkpoint."""
+    from ..models.som import XPySom
+
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        if header["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {header['format_version']} is newer than "
+                f"this library supports ({_FORMAT_VERSION})"
+            )
+        cfg = header["config"]
+        som = XPySom(
+            cfg["x"],
+            cfg["y"],
+            cfg["input_len"],
+            sigma=cfg["sigma"],
+            sigmaN=cfg["sigmaN"],
+            learning_rate=cfg["learning_rate"],
+            learning_rateN=cfg["learning_rateN"],
+            decay_function=cfg["decay_function"],
+            neighborhood_function=cfg["neighborhood_function"],
+            std_coeff=cfg["std_coeff"],
+            topology=cfg["topology"],
+            activation_distance=cfg["activation_distance"],
+            activation_distance_kwargs=cfg["activation_distance_kwargs"],
+            compact_support=cfg["compact_support"],
+            n_parallel=cfg["n_parallel"],
+            mesh=mesh,
+        )
+        som._weights = np.asarray(z["weights"])
+        som._random_generator.set_state(
+            (
+                "MT19937",
+                np.asarray(z["rng_keys"], dtype=np.uint32),
+                int(z["rng_meta"][0]),
+                int(z["rng_meta"][1]),
+                float(z["rng_gauss"][0]),
+            )
+        )
+        som._checkpoint_epoch = header.get("epoch")
+    return som
