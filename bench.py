@@ -1,9 +1,10 @@
 """Benchmark: SOM batch-training throughput on the flagship workload.
 
-Runs the full training step (BMU search + sufficient-statistics update)
-for the north-star configuration shape — a 128×128 codebook over
-64-dimensional fp32 samples (BASELINE.md) — on the default JAX backend
-(the real TPU chip under the driver) and prints ONE JSON line:
+Runs whole training epochs (fused BMU search + sufficient-statistics
+update, on-device epoch loop) for the north-star configuration shape —
+a 128×128 codebook over 64-dimensional fp32 samples (BASELINE.md) — on the
+default JAX backend (the real TPU chip under the driver) and prints ONE
+JSON line:
 
     {"metric": "som_batch_step_samples_per_sec_per_chip", "value": ...,
      "unit": "samples/s/chip", "vs_baseline": ...}
@@ -12,6 +13,9 @@ for the north-star configuration shape — a 128×128 codebook over
 ratio is taken against the BASELINE.json north-star requirement expressed
 per chip: 10^8 samples/epoch/min on a v5p-64 slice = 10^8 / 64 / 60
 ≈ 26,042 samples/s/chip on this workload. vs_baseline = value / 26042.
+
+Synchronization note: ``block_until_ready`` is advisory on some tunneled
+TPU transports, so timing syncs by fetching a reduction to host.
 """
 
 import json
@@ -23,18 +27,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xpysom_dask_tpu.core import SomSpec, chunk_data, make_epoch_fn
+from xpysom_dask_tpu.core import SomSpec, chunk_data, make_train_fn
 
 NORTH_STAR_SAMPLES_PER_SEC_PER_CHIP = 1e8 / 64 / 60  # BASELINE.json north star
 
 
 def main():
-    x = y = 128
-    d = 64
-    n = 1 << 19  # 512k samples per timed epoch (32 MB fp32)
-    chunk = 8192
-    epochs_warmup = 2
-    epochs_timed = 5
+    import os
+
+    # env overrides for smoke-testing on small hosts; driver runs defaults
+    x = y = int(os.environ.get("XSOM_BENCH_XY", 128))
+    d = int(os.environ.get("XSOM_BENCH_D", 64))
+    n = int(os.environ.get("XSOM_BENCH_N", 1 << 19))
+    chunk = int(os.environ.get("XSOM_BENCH_CHUNK", 8192))
+    epochs_warmup = 1
+    epochs_timed = int(os.environ.get("XSOM_BENCH_EPOCHS", 5))
 
     spec = SomSpec(
         x=x,
@@ -45,7 +52,7 @@ def main():
         learning_rate=0.5,
         learning_rateN=0.01,
     )
-    num_epochs = epochs_warmup + epochs_timed
+    num_epochs = 100  # schedule length (static); we time a slice of it
 
     rng = np.random.RandomState(0)
     data_np = rng.rand(n, d).astype(np.float32)
@@ -54,7 +61,10 @@ def main():
     mask = jnp.asarray(mask)
     w = jnp.asarray(rng.rand(x, y, d).astype(np.float32))
 
-    step = make_epoch_fn(spec, num_epochs)
+    train_fn = make_train_fn(spec, num_epochs)
+
+    def sync(arr):
+        return float(jnp.sum(arr))
 
     print(
         f"backend={jax.default_backend()} devices={jax.devices()} "
@@ -62,19 +72,24 @@ def main():
         file=sys.stderr,
     )
 
-    for t in range(epochs_warmup):
-        w = step(w, chunks, mask, jnp.int32(t))
-    w.block_until_ready()
+    w = train_fn(w, chunks, mask, jnp.int32(0), jnp.int32(epochs_warmup))
+    sync(w)
 
     t0 = time.perf_counter()
-    for t in range(epochs_warmup, num_epochs):
-        w = step(w, chunks, mask, jnp.int32(t))
-    w.block_until_ready()
+    w = train_fn(
+        w,
+        chunks,
+        mask,
+        jnp.int32(epochs_warmup),
+        jnp.int32(epochs_warmup + epochs_timed),
+    )
+    checksum = sync(w)
     dt = time.perf_counter() - t0
 
     samples_per_sec = n * epochs_timed / dt
     print(
-        f"{epochs_timed} epochs in {dt:.3f}s -> {samples_per_sec:,.0f} samples/s/chip",
+        f"{epochs_timed} epochs in {dt:.3f}s -> {samples_per_sec:,.0f} "
+        f"samples/s/chip (checksum {checksum:.1f})",
         file=sys.stderr,
     )
 

@@ -324,6 +324,37 @@ def make_epoch_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
 
 
 @lru_cache(maxsize=64)
+def make_train_fn(spec: SomSpec, num_epochs: int, mesh: Optional[Mesh] = None):
+    """Compile a whole training run:
+    ``train(w, data, mask, iter_beg, iter_end) -> w'`` — a
+    ``lax.while_loop`` over epochs *inside one executable*, so a full
+    multi-epoch run is a single dispatch with zero host round-trips
+    (the reference synchronizes with the driver every epoch,
+    xpysom.py:515-577; here the decay schedule is computed on-device from
+    the loop counter). ``iter_beg/iter_end`` are traced, preserving the
+    segmented-training API."""
+    psum_axis = "data" if mesh is not None else None
+    step = make_epoch_step(spec, num_epochs, psum_axis=psum_axis)
+
+    def run(w, data, mask, iter_beg, iter_end):
+        def body(t, w):
+            return step(w, data, mask, t)
+
+        return jax.lax.fori_loop(iter_beg, iter_end, body, w)
+
+    if mesh is None:
+        return jax.jit(run, donate_argnums=(0,))
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=64)
 def make_bmu_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     """Compile BMU (winner) search over pre-chunked data:
     ``bmu(w, data) -> (C, chunk) int32`` flat grid indices."""

@@ -313,16 +313,20 @@ class XPySom:
         chunks, mask, n = self._chunked(data2d)
         w = self._device_weights()
 
-        epoch_fn = core.make_epoch_fn(self._spec, num_epochs, self._mesh)
-
-        reporter = ProgressReporter(num_epochs * n) if verbose else None
-        if reporter:
+        if verbose:
+            # per-epoch dispatch so progress can be reported
+            epoch_fn = core.make_epoch_fn(self._spec, num_epochs, self._mesh)
+            reporter = ProgressReporter(num_epochs * n)
             reporter.start()
-
-        for t in range(iter_beg, iter_end):
-            w = epoch_fn(w, chunks, mask, jnp.int32(t))
-            if reporter:
+            for t in range(iter_beg, iter_end):
+                w = epoch_fn(w, chunks, mask, jnp.int32(t))
                 reporter.update(t * n + n - 1)
+        else:
+            # whole run in one executable (on-device epoch loop)
+            train_fn = core.make_train_fn(self._spec, num_epochs, self._mesh)
+            w = train_fn(
+                w, chunks, mask, jnp.int32(iter_beg), jnp.int32(iter_end)
+            )
 
         self._weights = np.asarray(jax.device_get(w))
 
@@ -369,15 +373,24 @@ class XPySom:
         return self._weights.reshape(-1, self._input_len)[bmu]
 
     def distance_from_weights(self, data, weights=None):
-        """Full (N, X·Y) euclidean distance matrix (reference
-        xpysom.py:647-671)."""
+        """Full (N, X·Y) euclidean distance matrix, computed in
+        ``n_parallel``-sized chunks like the reference
+        (xpysom.py:647-671)."""
         data2d = np.atleast_2d(_as_numpy_2d(data))
-        w_flat = np.asarray(self._weights, dtype=np.float32).reshape(
-            -1, self._input_len
+        w_flat = jnp.asarray(
+            np.asarray(self._weights, dtype=np.float32).reshape(
+                -1, self._input_len
+            )
         )
         from ..ops.distances import euclidean_distance
 
-        return np.asarray(euclidean_distance(jnp.asarray(data2d), jnp.asarray(w_flat)))
+        fn = jax.jit(euclidean_distance)
+        n = data2d.shape[0]
+        out = np.empty((n, w_flat.shape[0]), dtype=np.float32)
+        for start in range(0, n, self._n_parallel):
+            end = min(start + self._n_parallel, n)
+            out[start:end] = np.asarray(fn(jnp.asarray(data2d[start:end]), w_flat))
+        return out
 
     def quantization_error(self, data):
         """Mean distance between samples and their BMU code vectors
