@@ -1,0 +1,91 @@
+"""Codebook (grid) sharding tests on a 2-D (data, model) virtual mesh:
+model-sharded training/inference must match the single-device path."""
+
+import numpy as np
+import pytest
+import jax
+
+from xpysom_dask_tpu import XPySom
+from xpysom_dask_tpu.parallel.grid_sharded import make_grid_mesh
+
+
+def _mesh(n_data, n_model):
+    if len(jax.devices()) < n_data * n_model:
+        pytest.skip(f"needs {n_data * n_model} devices")
+    return make_grid_mesh(n_data, n_model)
+
+
+def test_grid_sharded_train_matches_single():
+    mesh = _mesh(2, 4)
+    rng = np.random.RandomState(0)
+    data = rng.rand(600, 5).astype(np.float32)
+    single = XPySom(8, 6, 5, random_seed=1, n_parallel=64)
+    sharded = XPySom(8, 6, 5, random_seed=1, n_parallel=64, mesh=mesh)
+    single.train(data, 4)
+    sharded.train(data, 4)
+    np.testing.assert_allclose(sharded._weights, single._weights, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sharded_inference_matches_single():
+    mesh = _mesh(2, 4)
+    rng = np.random.RandomState(1)
+    data = rng.rand(300, 4).astype(np.float32)
+    single = XPySom(4, 7, 4, random_seed=2, n_parallel=32)
+    sharded = XPySom(4, 7, 4, random_seed=2, n_parallel=32, mesh=mesh)
+    np.testing.assert_array_equal(sharded.predict(data), single.predict(data))
+    np.testing.assert_allclose(
+        sharded.quantization_error(data), single.quantization_error(data), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        sharded.topographic_error(data), single.topographic_error(data), rtol=1e-6
+    )
+    q1 = sharded.quantization(data[:10])
+    q2 = single.quantization(data[:10])
+    np.testing.assert_array_equal(q1, q2)
+
+
+def test_grid_sharded_model_only_mesh():
+    """Pure model parallelism: 1 data shard x 8 model shards."""
+    mesh = _mesh(1, 8)
+    rng = np.random.RandomState(2)
+    data = rng.rand(256, 3).astype(np.float32)
+    single = XPySom(8, 5, 3, random_seed=3, n_parallel=32)
+    sharded = XPySom(8, 5, 3, random_seed=3, n_parallel=32, mesh=mesh)
+    single.train(data, 3)
+    sharded.train(data, 3)
+    np.testing.assert_allclose(sharded._weights, single._weights, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sharded_verbose_epoch_path():
+    mesh = _mesh(2, 2)
+    rng = np.random.RandomState(3)
+    data = rng.rand(128, 3).astype(np.float32)
+    single = XPySom(4, 4, 3, random_seed=4, n_parallel=32)
+    sharded = XPySom(4, 4, 3, random_seed=4, n_parallel=32, mesh=mesh)
+    import io, contextlib
+
+    buf = io.StringIO()
+    single.train(data, 2)
+    with contextlib.redirect_stdout(buf):
+        sharded.train(data, 2, verbose=True)
+    np.testing.assert_allclose(sharded._weights, single._weights, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sharded_tie_breaking_first_index():
+    """Global argmin across shards must keep NumPy first-index semantics
+    even when the winning value appears on several model shards."""
+    mesh = _mesh(1, 4)
+    som = XPySom(4, 2, 1, random_seed=0, mesh=mesh, std_coeff=1)
+    som._weights = np.zeros((4, 2, 1))  # all rows identical -> all tie
+    assert som.winner(np.array([0.5])) == (0, 0)
+    som._weights[2, 1] = 0.5  # exact match deep in shard 2
+    assert som.winner(np.array([0.5])) == (2, 1)
+
+
+def test_grid_mesh_validation():
+    mesh = _mesh(1, 4)
+    with pytest.raises(ValueError):
+        # X=5 not divisible by 4 model shards
+        XPySom(5, 4, 2, random_seed=0, mesh=mesh).train(
+            np.random.rand(32, 2).astype(np.float32), 1
+        )

@@ -195,8 +195,17 @@ class XPySom:
             compact_support=bool(self.compact_support),
         )
 
+    def _is_grid_mesh(self) -> bool:
+        from ..parallel.grid_sharded import is_grid_mesh
+
+        return is_grid_mesh(self._mesh)
+
     def _n_shards(self) -> int:
-        return self._mesh.devices.size if self._mesh is not None else 1
+        if self._mesh is None:
+            return 1
+        if self._is_grid_mesh():
+            return int(self._mesh.shape["data"])
+        return self._mesh.devices.size
 
     def _chunked(self, data2d: np.ndarray):
         """Pad + chunk host data and place it on device(s)."""
@@ -210,9 +219,19 @@ class XPySom:
 
     def _device_weights(self):
         w = np.asarray(self._weights, dtype=np.float32)
-        if self._mesh is not None:
-            return jax.device_put(w, replicated_sharding(self._mesh))
-        return jnp.asarray(w)
+        if self._mesh is None:
+            return jnp.asarray(w)
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import MODEL_AXIS, codebook_sharding
+
+            n_model = int(self._mesh.shape[MODEL_AXIS])
+            if self._x % n_model:
+                raise ValueError(
+                    f"grid X={self._x} must divide evenly over {n_model} "
+                    f"model shards (codebook shards along X)"
+                )
+            return jax.device_put(w, codebook_sharding(self._mesh))
+        return jax.device_put(w, replicated_sharding(self._mesh))
 
     # -- introspection ------------------------------------------------------
 
@@ -247,7 +266,12 @@ class XPySom:
 
     def _winner_flat(self, data2d: np.ndarray) -> np.ndarray:
         chunks, _, n = self._chunked(data2d)
-        bmu_fn = core.make_bmu_fn(self._spec, self._mesh)
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import make_bmu_fn_2d
+
+            bmu_fn = make_bmu_fn_2d(self._spec, self._mesh)
+        else:
+            bmu_fn = core.make_bmu_fn(self._spec, self._mesh)
         bmu = bmu_fn(self._device_weights(), chunks)
         return np.asarray(bmu).reshape(-1)[:n]
 
@@ -313,9 +337,16 @@ class XPySom:
         chunks, mask, n = self._chunked(data2d)
         w = self._device_weights()
 
+        grid = self._is_grid_mesh()
+        if grid:
+            from ..parallel import grid_sharded as _gs
         if verbose:
             # per-epoch dispatch so progress can be reported
-            epoch_fn = core.make_epoch_fn(self._spec, num_epochs, self._mesh)
+            epoch_fn = (
+                _gs.make_epoch_fn_2d(self._spec, num_epochs, self._mesh)
+                if grid
+                else core.make_epoch_fn(self._spec, num_epochs, self._mesh)
+            )
             reporter = ProgressReporter(num_epochs * n)
             reporter.start()
             for t in range(iter_beg, iter_end):
@@ -323,7 +354,11 @@ class XPySom:
                 reporter.update(t * n + n - 1)
         else:
             # whole run in one executable (on-device epoch loop)
-            train_fn = core.make_train_fn(self._spec, num_epochs, self._mesh)
+            train_fn = (
+                _gs.make_train_fn_2d(self._spec, num_epochs, self._mesh)
+                if grid
+                else core.make_train_fn(self._spec, num_epochs, self._mesh)
+            )
             w = train_fn(
                 w, chunks, mask, jnp.int32(iter_beg), jnp.int32(iter_end)
             )
@@ -368,7 +403,12 @@ class XPySom:
             else SomSpec(**{**spec.__dict__, "distance": "euclidean", "distance_kwargs": ()})
         )
         chunks, _, n = self._chunked(data2d)
-        bmu_fn = core.make_bmu_fn(eucl_spec, self._mesh)
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import make_bmu_fn_2d
+
+            bmu_fn = make_bmu_fn_2d(eucl_spec, self._mesh)
+        else:
+            bmu_fn = core.make_bmu_fn(eucl_spec, self._mesh)
         bmu = np.asarray(bmu_fn(self._device_weights(), chunks)).reshape(-1)[:n]
         return self._weights.reshape(-1, self._input_len)[bmu]
 
@@ -398,7 +438,12 @@ class XPySom:
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
         chunks, mask, _ = self._chunked(data2d)
-        fn = core.make_quantization_stats_fn(self._spec, self._mesh)
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import make_quantization_stats_fn_2d
+
+            fn = make_quantization_stats_fn_2d(self._spec, self._mesh)
+        else:
+            fn = core.make_quantization_stats_fn(self._spec, self._mesh)
         tot, n = fn(self._device_weights(), chunks, mask)
         return float(tot) / float(n)
 
@@ -411,6 +456,19 @@ class XPySom:
         if total_neurons == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
             return np.nan
+        if self._is_grid_mesh():
+            # top-2 search is not worth sharding (metrics are rare);
+            # compute on a single device from the full host codebook
+            chunks, mask, _ = core.chunk_data(
+                data2d, min(self._n_parallel, max(8, -(-data2d.shape[0] // 8) * 8))
+            )
+            fn = core.make_topographic_stats_fn(self._spec, None)
+            errs, n = fn(
+                jnp.asarray(np.asarray(self._weights, np.float32)),
+                jnp.asarray(chunks),
+                jnp.asarray(mask),
+            )
+            return float(errs) / float(n)
         chunks, mask, _ = self._chunked(data2d)
         fn = core.make_topographic_stats_fn(self._spec, self._mesh)
         errs, n = fn(self._device_weights(), chunks, mask)

@@ -2,11 +2,19 @@
 TPU-native replacement of the reference's inline Dask branches
 (xpysom.py:545-558)."""
 
+from .grid_sharded import codebook_sharding, is_grid_mesh, make_grid_mesh
 from .mesh import data_sharding, make_data_mesh, replicated_sharding, resolve_mesh
+from .pipeline import ArraySource, FileSource, train_streaming
 
 __all__ = [
     "make_data_mesh",
+    "make_grid_mesh",
+    "is_grid_mesh",
     "resolve_mesh",
     "data_sharding",
     "replicated_sharding",
+    "codebook_sharding",
+    "ArraySource",
+    "FileSource",
+    "train_streaming",
 ]

@@ -1,0 +1,272 @@
+"""Codebook (grid) sharding: the tensor-parallel axis of the batch SOM.
+
+The reference replicates the codebook everywhere (it is small:
+xpysom.py:551; SURVEY.md §2.10 notes codebook sharding as the natural
+extension beyond reference behavior). For very large grids (e.g. 512×512
+× wide features) this module shards the *flattened grid axis* ``XY`` over
+a ``'model'`` mesh axis, composing with ``'data'`` parallelism in a 2-D
+mesh:
+
+- **W layout**: ``w_flat (XY, D)`` sharded to ``(XY/k, D)`` per model
+  shard; samples sharded over 'data', replicated over 'model'.
+- **BMU search**: each model shard computes distances against its codebook
+  rows only and a local argmin; the global winner is two tiny collectives
+  over 'model' (a ``pmin`` of values, then a ``pmin`` of masked global
+  indices — preserving NumPy's first-index tie-breaking).
+- **Sufficient statistics**: each shard scatter-accumulates only the
+  samples whose BMU lands in its row range → ``S``/``cnt`` arrive already
+  sharded over 'model'; a ``psum`` over 'data' reduces across data shards.
+- **Update**: statistics are ``all_gather``-ed over 'model' (XY·D per
+  epoch — the only model-axis traffic proportional to the grid) and the
+  neighborhood-operator update is computed once, each shard keeping its
+  row slice.
+
+Every collective rides the mesh (ICI within a slice, DCN across), zero
+host involvement — the same design rules as the data-parallel path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import SomSpec, _decays, _update_from_stats
+from ..ops.distances import DistanceFunction
+
+_F32 = jnp.float32
+_BIG_I32 = np.int32(2**31 - 1)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+__all__ = [
+    "make_grid_mesh",
+    "make_epoch_fn_2d",
+    "make_train_fn_2d",
+    "make_bmu_fn_2d",
+    "make_quantization_stats_fn_2d",
+    "codebook_sharding",
+    "is_grid_mesh",
+]
+
+
+def make_grid_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D mesh ``(data, model)`` over ``n_data * n_model`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def is_grid_mesh(mesh) -> bool:
+    return isinstance(mesh, Mesh) and MODEL_AXIS in mesh.axis_names
+
+
+def codebook_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the (X, Y, D) codebook: X·Y rows split over 'model'.
+    We shard the leading (X) axis — callers must pick X divisible by the
+    model-axis size."""
+    return NamedSharding(mesh, P(MODEL_AXIS))
+
+
+def _local_rows(spec: SomSpec, n_model: int) -> int:
+    # the codebook shards along X, so flat-index ranges stay contiguous
+    if spec.x % n_model:
+        raise ValueError(
+            f"grid X={spec.x} must divide evenly over {n_model} model shards"
+        )
+    return spec.xy // n_model
+
+
+def _global_bmu(d_local, offset):
+    """Global argmin from per-shard distance blocks ``d_local
+    (chunk, XY/k)``. Two pmin collectives over 'model'; first-index
+    tie-breaking globally."""
+    local_min = jnp.min(d_local, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_local.shape, 1)
+    local_arg = jnp.min(
+        jnp.where(d_local == local_min[:, None], lane, _BIG_I32), axis=1
+    )
+    global_min = jax.lax.pmin(local_min, MODEL_AXIS)
+    candidate = jnp.where(local_min == global_min, local_arg + offset, _BIG_I32)
+    return jax.lax.pmin(candidate, MODEL_AXIS), global_min
+
+
+def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
+    """Scan chunks; per chunk: sharded BMU search then scatter-accumulate
+    into this shard's row range only."""
+    rows = w_local.shape[0]
+    offset = jax.lax.axis_index(MODEL_AXIS) * rows
+    w_sq = (
+        jnp.sum(jnp.square(w_local), axis=1, keepdims=True)
+        if dist.can_cache
+        else None
+    )
+
+    def body(carry, xs):
+        s, cnt = carry
+        x, m = xs
+        d_local = dist.flat(x, w_local, w_sq)
+        bmu, _ = _global_bmu(d_local, offset)
+        mine = (bmu >= offset) & (bmu < offset + rows)
+        local_idx = jnp.clip(bmu - offset, 0, rows - 1)
+        contrib = m * mine.astype(_F32)
+        s = s.at[local_idx].add(x * contrib[:, None])
+        cnt = cnt.at[local_idx].add(contrib)
+        return (s, cnt), None
+
+    init = (
+        jnp.zeros((rows, spec.input_len), dtype=_F32),
+        jnp.zeros((rows,), dtype=_F32),
+    )
+    (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+    # reduce over data shards; stays sharded over model
+    s = jax.lax.psum(s, DATA_AXIS)
+    cnt = jax.lax.psum(cnt, DATA_AXIS)
+    return s, cnt
+
+
+def _make_step_2d(spec: SomSpec, num_epochs: int):
+    dist = spec.distance_fn()
+
+    def step(w_local, data, mask, t):
+        rows = w_local.shape[0] * w_local.shape[1]  # local X-rows * Y
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        eta, sig = _decays(spec, t, num_epochs)
+        s_local, cnt_local = _shard_stats(spec, dist, w_flat_local, data, mask)
+        # gather full statistics over the model axis (the one XY-sized
+        # collective per epoch), compute the tiny update, keep local rows
+        s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
+        cnt = jax.lax.all_gather(cnt_local, MODEL_AXIS, axis=0, tiled=True)
+        w_flat = jax.lax.all_gather(w_flat_local, MODEL_AXIS, axis=0, tiled=True)
+        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        new_local = jax.lax.dynamic_slice_in_dim(new_flat, offset, rows, axis=0)
+        return new_local.reshape(w_local.shape)
+
+    return step
+
+
+def _in_specs():
+    return (P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS), P())
+
+
+@lru_cache(maxsize=32)
+def make_epoch_fn_2d(spec: SomSpec, num_epochs: int, mesh: Mesh):
+    """One training epoch on a (data, model) mesh:
+    ``epoch(w, data, mask, t) -> w'`` with ``w (X, Y, D)`` sharded over X
+    and data chunks sharded over the data axis."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+    step = _make_step_2d(spec, num_epochs)
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=_in_specs(),
+        out_specs=P(MODEL_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def make_train_fn_2d(spec: SomSpec, num_epochs: int, mesh: Mesh):
+    """Whole-run on-device epoch loop on a (data, model) mesh."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+    step = _make_step_2d(spec, num_epochs)
+
+    def run(w_local, data, mask, iter_beg, iter_end):
+        def body(t, w):
+            return step(w, data, mask, t)
+
+        return jax.lax.fori_loop(iter_beg, iter_end, body, w_local)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(MODEL_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
+    """Sharded winner search: ``bmu(w, data) -> (C, chunk) int32`` global
+    flat indices (replicated output)."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+    dist = spec.distance_fn()
+
+    def run(w_local, data):
+        rows = w_local.shape[0] * w_local.shape[1]
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        w_sq = (
+            jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
+            if dist.can_cache
+            else None
+        )
+
+        def body(_, x):
+            d_local = dist.flat(x, w_flat_local, w_sq)
+            bmu, _ = _global_bmu(d_local, offset)
+            return None, bmu.astype(jnp.int32)
+
+        _, bmu = jax.lax.scan(body, None, data)
+        return bmu
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=32)
+def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
+    """Sharded quantization-error statistics (euclidean BMU like the
+    reference, xpysom.py:632-645): ``(w, data, mask) -> (Σ err, Σ mask)``."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+    eucl = DistanceFunction("euclidean")
+
+    def run(w_local, data, mask):
+        rows = w_local.shape[0] * w_local.shape[1]
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        w_sq = jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
+
+        def body(carry, xs):
+            tot, n = carry
+            x, m = xs
+            d_local = eucl.flat(x, w_flat_local, w_sq)
+            bmu, _ = _global_bmu(d_local, offset)
+            mine = (bmu >= offset) & (bmu < offset + rows)
+            local_idx = jnp.clip(bmu - offset, 0, rows - 1)
+            err_local = jnp.linalg.norm(x - w_flat_local[local_idx], axis=1)
+            err = jax.lax.psum(err_local * mine.astype(_F32), MODEL_AXIS)
+            return (tot + jnp.sum(err * m), n + jnp.sum(m)), None
+
+        (tot, n), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0)), (data, mask)
+        )
+        return jax.lax.psum(tot, DATA_AXIS), jax.lax.psum(n, DATA_AXIS)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
