@@ -18,9 +18,39 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_data_mesh", "resolve_mesh", "data_sharding", "replicated_sharding"]
+__all__ = [
+    "make_data_mesh",
+    "resolve_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "initialize_multihost",
+]
 
 DATA_AXIS = "data"
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Join a multi-host (multi-slice / DCN) run.
+
+    Thin wrapper over ``jax.distributed.initialize`` — call once per host
+    before building meshes; afterwards ``jax.devices()`` spans every host
+    and ``make_data_mesh()`` / ``make_grid_mesh()`` lay the ``data`` axis
+    across slices, so the per-epoch ``psum`` of sufficient statistics rides
+    ICI within a slice and DCN across (the reference's closest analog is
+    pointing ``dask.distributed`` at a multi-node cluster,
+    README.md:52-59 — here the runtime is JAX's own).
+
+    With no arguments, coordinates are taken from the environment
+    (TPU pod metadata / ``JAX_COORDINATOR_ADDRESS`` et al.).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
