@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from xpysom_dask_tpu.utils.native import native_available
-from xpysom_dask_tpu.parallel.pipeline import ArraySource, FileSource
+from xpysom_dask_tpu.parallel.pipeline import FileSource
 
 needs_native = pytest.mark.skipif(
     not native_available(), reason="native toolchain unavailable"

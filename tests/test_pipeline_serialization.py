@@ -127,3 +127,23 @@ def test_checkpoint_config_roundtrip(tmp_path):
     assert loaded.compact_support is True
     assert loaded._std_coeff == 1.2
     assert loaded._decay_function_name == "linear"
+
+
+def test_periodic_checkpointing(tmp_path):
+    """checkpoint_every writes resumable checkpoints and ends at the same
+    weights as an uninterrupted run."""
+    rng = np.random.RandomState(6)
+    data = rng.rand(128, 3).astype(np.float32)
+    ckpt = tmp_path / "periodic.npz"
+
+    full = XPySom(4, 4, 3, random_seed=11)
+    full.train(data, 6)
+
+    ck = XPySom(4, 4, 3, random_seed=11)
+    ck.train(data, 6, checkpoint_path=ckpt, checkpoint_every=2)
+    np.testing.assert_allclose(ck._weights, full._weights, rtol=1e-5, atol=1e-6)
+
+    # simulate failure recovery from the last checkpoint
+    loaded = XPySom.load_checkpoint(ckpt)
+    assert loaded._checkpoint_epoch == 6
+    np.testing.assert_array_equal(loaded._weights, ck._weights)

@@ -7,7 +7,7 @@ import pytest
 import jax
 
 from xpysom_dask_tpu import XPySom
-from xpysom_dask_tpu.parallel.mesh import make_data_mesh, resolve_mesh
+from xpysom_dask_tpu.parallel.mesh import resolve_mesh
 
 
 def _need_devices(n=2):

@@ -23,9 +23,7 @@ What changed underneath:
 
 from __future__ import annotations
 
-import math
 from collections import Counter, defaultdict
-from typing import Optional
 from warnings import warn
 
 import jax
@@ -35,7 +33,7 @@ import numpy as np
 from .. import core
 from ..core import SomSpec, chunk_data, grid_coordinates
 from ..ops.decays import DECAY_REGISTRY
-from ..ops.distances import DISTANCE_NAMES, DistanceFunction
+from ..ops.distances import DistanceFunction
 from ..parallel.mesh import (
     data_sharding,
     replicated_sharding,
@@ -295,15 +293,46 @@ class XPySom:
 
     # -- training ------------------------------------------------------------
 
-    def train(self, data, num_epochs, iter_beg=0, iter_end=None, verbose=False):
+    def train(
+        self,
+        data,
+        num_epochs,
+        iter_beg=0,
+        iter_end=None,
+        verbose=False,
+        checkpoint_path=None,
+        checkpoint_every=0,
+    ):
         """Trains the SOM (reference xpysom.py:458-594).
 
         ``iter_beg``/``iter_end`` run epochs ``[iter_beg, iter_end)`` of a
         ``num_epochs``-epoch schedule — decays are computed against the
         total, so segmented training (checkpoint/resume) composes exactly
-        like the reference's."""
+        like the reference's.
+
+        ``checkpoint_path`` + ``checkpoint_every=k`` write a portable .npz
+        checkpoint every k epochs (and at the end) — the fault-tolerance
+        mechanism for long runs (the reference has none beyond pickle,
+        SURVEY.md §5): after a failure, ``XPySom.load_checkpoint(path)``
+        and ``train(data, num_epochs, iter_beg=ckpt._checkpoint_epoch)``
+        resume exactly."""
         if iter_end is None:
             iter_end = num_epochs
+
+        if checkpoint_every and checkpoint_path:
+            # segment the run at checkpoint boundaries; each segment uses
+            # the fused path internally
+            for seg_beg in range(iter_beg, iter_end, checkpoint_every):
+                seg_end = min(seg_beg + checkpoint_every, iter_end)
+                self.train(
+                    data,
+                    num_epochs,
+                    iter_beg=seg_beg,
+                    iter_end=seg_end,
+                    verbose=verbose,
+                )
+                self.save_checkpoint(checkpoint_path, epoch=seg_end)
+            return self
 
         # Out-of-core path: DataSource-like objects and np.memmap stream
         # superbatches through the device instead of residing on it

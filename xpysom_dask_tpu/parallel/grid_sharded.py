@@ -28,8 +28,6 @@ host involvement — the same design rules as the data-parallel path.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

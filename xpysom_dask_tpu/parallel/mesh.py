@@ -12,7 +12,7 @@ involvement.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ superbatches; this pipeline keeps the MXU fed from host RAM/disk
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Protocol, Tuple, Union
+from typing import Iterator, Optional, Protocol
 
 import jax
 import jax.numpy as jnp
