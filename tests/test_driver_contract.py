@@ -1,0 +1,71 @@
+"""Guards for the driver contract: bench.py must print one valid JSON
+line; __graft_entry__.entry must be jittable and dryrun_multichip must run
+on the virtual device mesh; chunk_data edge cases."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+from xpysom_dask_tpu.core import chunk_data
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XSOM_BENCH_XY="8",
+        XSOM_BENCH_D="4",
+        XSOM_BENCH_N="2048",
+        XSOM_BENCH_CHUNK="256",
+        XSOM_BENCH_EPOCHS="2",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["value"] > 0
+
+
+def test_graft_entry():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    if len(jax.devices()) >= 8:
+        g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize(
+    "n,chunk,mult",
+    [(1, 8, 1), (7, 8, 1), (8, 8, 1), (9, 8, 1), (5, 8, 4), (100, 32, 8)],
+)
+def test_chunk_data_edges(n, chunk, mult):
+    data = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    chunks, mask, n_out = chunk_data(data, chunk, multiple_of=mult)
+    assert n_out == n
+    assert chunks.shape[0] % mult == 0
+    assert chunks.shape[1] == chunk
+    flat = chunks.reshape(-1, 3)
+    m = mask.reshape(-1)
+    assert m.sum() == n
+    np.testing.assert_array_equal(flat[m.astype(bool)], data)
+    assert np.all(flat[~m.astype(bool)] == 0)
