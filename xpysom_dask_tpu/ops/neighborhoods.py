@@ -42,7 +42,13 @@ ever runs with compact support).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Operator-application GEMMs run at HIGHEST precision: they are tiny
+# (O(XY^2 D) worst case) but feed the codebook update directly, and the
+# TPU bf16 matmul default would inject ~1e-3 relative error into W.
+_PRECISION = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "prepare_neig_func",
@@ -309,8 +315,8 @@ def apply_operator(op, s_flat, cnt):
     xy, d_dim = s_flat.shape
     if kind == "full":
         h = payload
-        num = jnp.dot(h.T, s_flat, preferred_element_type=_F32)
-        den = jnp.dot(h.T, cnt[None, :].T, preferred_element_type=_F32)[:, 0]
+        num = jnp.dot(h.T, s_flat, preferred_element_type=_F32, precision=_PRECISION)
+        den = jnp.dot(h.T, cnt[None, :].T, preferred_element_type=_F32, precision=_PRECISION)[:, 0]
         return num, den
     # sum of separable terms: S viewed as (X, Y, D), cnt as (X, Y)
     x_dim = payload[0][0].shape[0]
@@ -321,8 +327,8 @@ def apply_operator(op, s_flat, cnt):
     den = jnp.zeros_like(c2)
     for ax, ay in payload:
         # num[i,j,d] += Σ_{a,b} Ax[a,i]·Ay[b,j]·S[a,b,d]
-        t = jnp.einsum("ai,abd->ibd", ax, s3, preferred_element_type=_F32)
-        num = num + jnp.einsum("bj,ibd->ijd", ay, t, preferred_element_type=_F32)
-        tc = jnp.einsum("ai,ab->ib", ax, c2, preferred_element_type=_F32)
-        den = den + jnp.einsum("bj,ib->ij", ay, tc, preferred_element_type=_F32)
+        t = jnp.einsum("ai,abd->ibd", ax, s3, preferred_element_type=_F32, precision=_PRECISION)
+        num = num + jnp.einsum("bj,ibd->ijd", ay, t, preferred_element_type=_F32, precision=_PRECISION)
+        tc = jnp.einsum("ai,ab->ib", ax, c2, preferred_element_type=_F32, precision=_PRECISION)
+        den = den + jnp.einsum("bj,ib->ij", ay, tc, preferred_element_type=_F32, precision=_PRECISION)
     return num.reshape(xy, d_dim), den.reshape(xy)

@@ -188,8 +188,14 @@ def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
     if mode == "split3":
-        wth = wt.astype(jnp.bfloat16)
-        wtl = (wt - wth.astype(jnp.float32)).astype(jnp.bfloat16)
+        # NB: the obvious `wh = bf16(wt); wl = bf16(wt - f32(wh))` is UNSAFE
+        # under XLA's --xla_allow_excess_precision (set by some platforms):
+        # the f32->bf16->f32 round-trip is elided and wl folds to ZERO,
+        # silently degrading the kernel to bf16 accuracy. reduce_precision
+        # performs the rounding explicitly and cannot be elided.
+        wt_hi = jax.lax.reduce_precision(wt, exponent_bits=8, mantissa_bits=7)
+        wth = wt_hi.astype(jnp.bfloat16)
+        wtl = (wt - wt_hi).astype(jnp.bfloat16)
         idx, val = pl.pallas_call(
             _kernel_split3,
             in_specs=[x_spec, w_spec, w_spec, wsq_spec],
