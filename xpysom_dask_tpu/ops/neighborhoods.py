@@ -284,24 +284,58 @@ def neighborhood_operator(
         raise ValueError(f"unknown neighborhood {name!r}")
 
     if topology == "hexagonal":
-        # Dense operator: evaluate the generic kernel with every grid node
-        # as center. c enumerates nodes in C-order of the (X, Y) grid.
-        cx = jnp.repeat(jnp.arange(X), Y)
-        cy = jnp.tile(jnp.arange(Y), X)
-        c = (cx, cy)
-        if name == "gaussian":
-            h = gaussian_generic(xx, yy, std_coeff, compact_support, c, sigma)
-        elif name == "mexican_hat":
-            h = mexican_hat_generic(xx, yy, std_coeff, compact_support, c, sigma)
-        elif name == "bubble":
-            h = bubble(neigx, neigy, c, sigma)
-        else:
+        if name == "bubble":
+            # the reference keeps bubble on the *integer* grid under hex
+            # topology (xpysom.py:277-278) — identical to the rect factors
+            nx = neigx[None, :].astype(_F32)
+            ny = neigy[None, :].astype(_F32)
+            ax = _box_mask(nx, neigx[:, None].astype(_F32), sigma)
+            ay = _box_mask(ny, neigy[:, None].astype(_F32), sigma)
+            return ("sum_separable", [(ax, ay)])
+        if name not in ("gaussian", "mexican_hat"):
             raise ValueError(
                 f"{name!r} neighborhood not available for hexagonal topology"
             )
-        return ("full", h.reshape(X * Y, X * Y))
+        # Pairwise form: the generic kernels are functions of the euclidean
+        # coordinate differences (Δx, Δy) between center and node
+        # (neighborhoods.py:35-55,76-97: ax·ay = f((xx-cx)², (yy-cy)²)), so
+        # H tiles are built on the fly from the flat coordinate vectors —
+        # no (XY, XY) materialization; `apply_operator` scans center tiles.
+        # Flat C-order coordinates: node (i, j) sits at (xx.T[i,j], yy.T[i,j]).
+        coords_x = xx.T.reshape(-1)
+        coords_y = yy.T.reshape(-1)
+        return (
+            "pairwise",
+            (name, coords_x, coords_y, std_coeff, compact_support, sigma),
+        )
 
     raise ValueError(f"unknown topology {topology!r}")
+
+
+def _pairwise_tile(name, cx, cy, coords_x, coords_y, std_coeff, compact, sigma):
+    """(TB, XY) neighborhood weights for a tile of centers at euclidean
+    coords (cx, cy) — same math as gaussian_generic / mexican_hat_generic."""
+    d = 2.0 * std_coeff**2 * sigma**2
+    dx = coords_x[None, :] - cx[:, None]
+    dy = coords_y[None, :] - cy[:, None]
+    px = dx * dx
+    py = dy * dy
+    if compact:
+        in_x = ((dx > -sigma) & (dx < sigma)).astype(_F32)
+        in_y = ((dy > -sigma) & (dy < sigma)).astype(_F32)
+    if name == "gaussian":
+        ax = jnp.exp(-px / d)
+        ay = jnp.exp(-py / d)
+        if compact:
+            ax = ax * in_x
+            ay = ay * in_y
+        return ax * ay
+    # mexican hat
+    if compact:
+        px = px * in_x
+        py = py * in_y
+    p = px + py
+    return jnp.exp(-p / d) * (1.0 - 2.0 / d * p)
 
 
 def apply_operator(op, s_flat, cnt):
@@ -317,6 +351,38 @@ def apply_operator(op, s_flat, cnt):
         h = payload
         num = jnp.dot(h.T, s_flat, preferred_element_type=_F32, precision=_PRECISION)
         den = jnp.dot(h.T, cnt[None, :].T, preferred_element_type=_F32, precision=_PRECISION)[:, 0]
+        return num, den
+    if kind == "pairwise":
+        name, coords_x, coords_y, std_coeff, compact, sigma = payload
+        # scan over center tiles: H never materializes beyond (TB, XY)
+        tb = max(128, min(2048, (1 << 22) // max(xy, 1)))
+        n_pad = -(-xy // tb) * tb
+        pad = n_pad - xy
+        cx = jnp.pad(coords_x, (0, pad)).reshape(-1, tb)
+        cy = jnp.pad(coords_y, (0, pad)).reshape(-1, tb)
+        s_p = jnp.pad(s_flat, ((0, pad), (0, 0)))  # padded centers carry 0
+        c_p = jnp.pad(cnt, (0, pad)).reshape(-1, tb)
+        s_tiles = s_p.reshape(-1, tb, d_dim)
+
+        def body(carry, xs):
+            num, den = carry
+            cx_t, cy_t, s_t, c_t = xs
+            h = _pairwise_tile(
+                name, cx_t, cy_t, coords_x, coords_y, std_coeff, compact, sigma
+            )  # (tb, xy)
+            num = num + jnp.dot(
+                h.T, s_t, preferred_element_type=_F32, precision=_PRECISION
+            )
+            den = den + jnp.dot(
+                h.T, c_t[:, None], preferred_element_type=_F32, precision=_PRECISION
+            )[:, 0]
+            return (num, den), None
+
+        init = (
+            jnp.zeros((xy, d_dim), dtype=_F32),
+            jnp.zeros((xy,), dtype=_F32),
+        )
+        (num, den), _ = jax.lax.scan(body, init, (cx, cy, s_tiles, c_p))
         return num, den
     # sum of separable terms: S viewed as (X, Y, D), cnt as (X, Y)
     x_dim = payload[0][0].shape[0]
