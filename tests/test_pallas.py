@@ -69,3 +69,18 @@ def test_supported_gating_off_tpu():
     assert not pl_bmu.supported()
     x = jnp.ones((4, 8))
     assert not pl_manhattan.supported(x, x)
+
+
+@pytest.mark.parametrize("mode", ["packed", "split3", "highest"])
+def test_bmu_modes_agree(mode):
+    rng = np.random.RandomState(5)
+    x = rng.rand(200, 24).astype(np.float32)
+    w = rng.rand(500, 24).astype(np.float32)
+    idx, val = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode=mode
+    )
+    dref = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
+    np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-4, atol=1e-4)

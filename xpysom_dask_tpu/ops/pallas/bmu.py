@@ -15,12 +15,17 @@ MXU computes ``x_tile @ w_tileᵀ``, the VPU folds it into a running
 
 Precision: the argmin is sensitive to the TPU's bf16 matmul default (~2%
 flipped winners at fp32-data magnitudes), but full ``Precision.HIGHEST``
-costs 6 MXU passes. The default here is a **manual 3-pass bf16 split**
+costs 6 MXU passes. The kernel uses a **3-term bf16 split**
 (``x·w ≈ xh·wh + xh·wl + xl·wh`` with ``xh = bf16(x)``, ``xl = x - xh``)
-— ~f32-accurate (the dropped ``xl·wl`` term is O(2⁻²²) relative) at half
-the MXU cost of HIGHEST; measured 1.7× faster with zero argmin
-disagreements vs float64. The codebook halves are split once per call
-(not per tile). ``XPYSOM_BMU_PRECISION=highest`` forces exact 6-pass f32.
+— ~f32-accurate (the dropped ``xl·wl`` term is O(2⁻²²) relative). The
+default ``packed`` mode additionally packs the two ``·wh`` terms into one
+K=2D matmul (``[xh|xl] @ [wh;wh]``), so the whole cross-term costs ~1.5
+K=D-passes: measured 2.3× over HIGHEST with zero argmin disagreements vs
+float64. Splits are computed with ``jax.lax.reduce_precision`` — the
+naive ``bf16(x - f32(bf16(x)))`` is silently elided to zero under XLA's
+``--xla_allow_excess_precision``. ``XPYSOM_BMU_PRECISION`` selects
+``packed`` (default) / ``split3`` (in-kernel splits) / ``highest``
+(exact 6-pass f32).
 
 Tie-breaking matches NumPy argmin (first index wins): within a tile the
 first-minimum lane is selected via an iota trick, across tiles a strict
@@ -44,9 +49,15 @@ _BIG_I32 = np.int32(2**31 - 1)
 
 # Tile sizes: TN samples × TJ codebook nodes per VMEM-resident distance
 # tile; (TN·TJ + temps) · 4B must fit ~16 MB VMEM with double-buffered
-# inputs. (512, 2048) measured fastest among fitting configs on v5e.
-_TN = 512
-_TJ = 2048
+# inputs. (1024, 1024) measured fastest among fitting configs on v5e.
+_TN = 1024
+_TJ = 1024
+
+
+def _split_bf16(a):
+    """Elision-safe Dekker-style bf16 split: ``a ≈ f32(hi) + f32(lo)``."""
+    hi = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+    return hi.astype(jnp.bfloat16), (a - hi).astype(jnp.bfloat16)
 
 
 def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref):
@@ -92,6 +103,30 @@ def _kernel_split3(
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
 
 
+def _kernel_packed(
+    a_ref, whwh_ref, wtl_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref
+):
+    """Inputs pre-split in XLA: ``a = [xh | xl]`` (TN, 2D) bf16,
+    ``whwh = [wh; wh]`` (2D, TJ) bf16, ``wtl`` (D, TJ) bf16. One K=2D
+    matmul covers xh·wh + xl·wh; a K=D matmul adds xh·wl."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
+
+    a = a_ref[:]
+    d_dim = a.shape[1] // 2
+    xh = a[:, :d_dim]
+    cross = jnp.dot(
+        a, whwh_ref[:], preferred_element_type=jnp.float32
+    ) + jnp.dot(xh, wtl_ref[:], preferred_element_type=jnp.float32)
+    d = -2.0 * cross + wsq_ref[:]
+    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
+
+
 def _kernel_highest(
     x_ref, wt_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref
 ):
@@ -131,11 +166,8 @@ def supported() -> bool:
 
 
 def _mode() -> str:
-    return (
-        "highest"
-        if os.environ.get("XPYSOM_BMU_PRECISION", "").lower() == "highest"
-        else "split3"
-    )
+    m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
+    return m if m in ("highest", "split3", "packed") else "packed"
 
 
 @partial(jax.jit, static_argnames=("interpret", "mode"))
@@ -187,15 +219,29 @@ def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
     w_spec = pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
-    if mode == "split3":
+    if mode == "packed":
+        xh, xl = _split_bf16(x_p)
+        a = jnp.concatenate([xh, xl], axis=1)  # (Np, 2D) bf16
+        wth, wtl = _split_bf16(wt)
+        whwh = jnp.concatenate([wth, wth], axis=0)  # (2D, XYp) bf16
+        a_spec = pl.BlockSpec(
+            (tn, 2 * d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        w2_spec = pl.BlockSpec(
+            (2 * d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        )
+        idx, val = pl.pallas_call(
+            _kernel_packed,
+            in_specs=[a_spec, w2_spec, w_spec, wsq_spec],
+            **common,
+        )(a, whwh, wtl, wsq_p)
+    elif mode == "split3":
         # NB: the obvious `wh = bf16(wt); wl = bf16(wt - f32(wh))` is UNSAFE
         # under XLA's --xla_allow_excess_precision (set by some platforms):
         # the f32->bf16->f32 round-trip is elided and wl folds to ZERO,
         # silently degrading the kernel to bf16 accuracy. reduce_precision
         # performs the rounding explicitly and cannot be elided.
-        wt_hi = jax.lax.reduce_precision(wt, exponent_bits=8, mantissa_bits=7)
-        wth = wt_hi.astype(jnp.bfloat16)
-        wtl = (wt - wt_hi).astype(jnp.bfloat16)
+        wth, wtl = _split_bf16(wt)
         idx, val = pl.pallas_call(
             _kernel_split3,
             in_specs=[x_spec, w_spec, w_spec, wsq_spec],
