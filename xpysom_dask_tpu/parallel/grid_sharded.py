@@ -84,17 +84,32 @@ def _local_rows(spec: SomSpec, n_model: int) -> int:
     return spec.xy // n_model
 
 
-def _global_bmu(d_local, offset):
-    """Global argmin from per-shard distance blocks ``d_local
-    (chunk, XY/k)``. Two pmin collectives over 'model'; first-index
-    tie-breaking globally."""
+def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq):
+    """Per-shard (min value, local argmin) — via the fused Pallas kernel on
+    TPU (euclidean), else the XLA distance matrix."""
+    from ..core import _use_pallas_bmu
+
+    if _use_pallas_bmu(dist):
+        from ..ops.pallas.bmu import bmu_euclidean
+
+        idx, val = bmu_euclidean(x, w_local, w_sq)
+        return val, idx
+    d_local = dist.flat(x, w_local, w_sq)
     local_min = jnp.min(d_local, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, d_local.shape, 1)
     local_arg = jnp.min(
         jnp.where(d_local == local_min[:, None], lane, _BIG_I32), axis=1
     )
+    return local_min, local_arg
+
+
+def _global_bmu(local_min, local_arg, offset):
+    """Global argmin from per-shard (min, argmin). Two pmin collectives
+    over 'model'; first-index tie-breaking globally."""
     global_min = jax.lax.pmin(local_min, MODEL_AXIS)
-    candidate = jnp.where(local_min == global_min, local_arg + offset, _BIG_I32)
+    candidate = jnp.where(
+        local_min == global_min, local_arg.astype(jnp.int32) + offset, _BIG_I32
+    )
     return jax.lax.pmin(candidate, MODEL_AXIS), global_min
 
 
@@ -112,8 +127,8 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
     def body(carry, xs):
         s, cnt = carry
         x, m = xs
-        d_local = dist.flat(x, w_local, w_sq)
-        bmu, _ = _global_bmu(d_local, offset)
+        lmin, larg = _local_min_arg(dist, x, w_local, w_sq)
+        bmu, _ = _global_bmu(lmin, larg, offset)
         mine = (bmu >= offset) & (bmu < offset + rows)
         local_idx = jnp.clip(bmu - offset, 0, rows - 1)
         contrib = m * mine.astype(_F32)
@@ -214,8 +229,8 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         )
 
         def body(_, x):
-            d_local = dist.flat(x, w_flat_local, w_sq)
-            bmu, _ = _global_bmu(d_local, offset)
+            lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq)
+            bmu, _ = _global_bmu(lmin, larg, offset)
             return None, bmu.astype(jnp.int32)
 
         _, bmu = jax.lax.scan(body, None, data)
@@ -247,8 +262,8 @@ def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
         def body(carry, xs):
             tot, n = carry
             x, m = xs
-            d_local = eucl.flat(x, w_flat_local, w_sq)
-            bmu, _ = _global_bmu(d_local, offset)
+            lmin, larg = _local_min_arg(eucl, x, w_flat_local, w_sq)
+            bmu, _ = _global_bmu(lmin, larg, offset)
             mine = (bmu >= offset) & (bmu < offset + rows)
             local_idx = jnp.clip(bmu - offset, 0, rows - 1)
             err_local = jnp.linalg.norm(x - w_flat_local[local_idx], axis=1)
