@@ -178,15 +178,21 @@ def train_streaming(
     iter_beg: int = 0,
     iter_end: Optional[int] = None,
     chunk: int = 8192,
-    superbatch_rows: int = 1 << 20,
+    superbatch_rows: Optional[int] = None,
     mesh=None,
     progress=None,
 ) -> np.ndarray:
     """Full streamed training: per epoch, fold stats over superbatches then
     apply one codebook update (identical semantics to the resident path /
-    the reference's per-epoch accumulate-then-merge, xpysom.py:515-577)."""
+    the reference's per-epoch accumulate-then-merge, xpysom.py:515-577).
+
+    ``superbatch_rows`` defaults to a ~256 MB device-resident block
+    (scaled by the feature width), clamped to [2^16, 2^22] rows."""
     if iter_end is None:
         iter_end = num_epochs
+    if superbatch_rows is None:
+        d = getattr(source, "dim", spec.input_len)
+        superbatch_rows = max(1 << 16, min(1 << 22, (1 << 28) // (4 * max(d, 1))))
     update_fn = make_update_fn(spec, num_epochs)
     w = _put(np.asarray(weights, dtype=np.float32), mesh, sharded=False)
     for t in range(iter_beg, iter_end):
