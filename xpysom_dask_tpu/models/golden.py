@@ -193,6 +193,18 @@ class GoldenSom:
             d = golden_distance("euclidean", data, w_flat)
             flat_bmu = np.argmin(d, axis=1)
             c = (flat_bmu // self.y, flat_bmu % self.y)
+            # Known residual divergence vs XLA implementations: when the
+            # neighborhood underflows (exp arguments < -88), XLA flushes
+            # f32 subnormals to zero (den == 0 -> keep weight) while NumPy
+            # keeps them (den ~ 1e-40 -> fill with num/den of noise).
+            # Both fills are meaningless; avoid sigma*std_coeff << 1 when
+            # comparing implementations.
+            # The reference computes g in float32 (neighborhoods.py:26-27
+            # power(..., dtype=float32); accumulators are float32,
+            # xpysom.py:520-527). Keeping g in float64 here would preserve
+            # sub-f32 underflow values (e.g. exp(-x) ~ 1e-100 for tiny σ)
+            # and flip the den != 0 merge branch relative to every f32
+            # implementation, including the reference itself.
             g = (
                 golden_neighborhood(
                     self.neighborhood,
@@ -205,7 +217,7 @@ class GoldenSom:
                     self.topology,
                 )
                 * eta
-            )
+            ).astype(np.float32)
             den = g.sum(axis=0)[:, :, None]
             g_flat = g.reshape(g.shape[0], -1)
             num = (g_flat.T @ data).reshape(w.shape)
