@@ -147,3 +147,62 @@ def test_periodic_checkpointing(tmp_path):
     loaded = XPySom.load_checkpoint(ckpt)
     assert loaded._checkpoint_epoch == 6
     np.testing.assert_array_equal(loaded._weights, ck._weights)
+
+
+def test_iterable_source_matches_resident():
+    """IterableSource (generator factory, odd batch sizes) == resident."""
+    from xpysom_dask_tpu.parallel.pipeline import IterableSource
+
+    rng = np.random.RandomState(8)
+    data = rng.rand(450, 4).astype(np.float32)
+
+    def factory():
+        for start in range(0, 450, 77):  # ragged producer batches
+            yield data[start : start + 77]
+
+    resident = XPySom(5, 5, 4, random_seed=6, n_parallel=64)
+    resident.train(data, 3)
+    streamed = XPySom(5, 5, 4, random_seed=6, n_parallel=64)
+    streamed.train(IterableSource(factory, 450, 4), 3)
+    np.testing.assert_allclose(
+        streamed._weights, resident._weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_iterable_source_reblocks():
+    from xpysom_dask_tpu.parallel.pipeline import IterableSource
+
+    data = np.arange(100 * 2, dtype=np.float32).reshape(100, 2)
+
+    def factory():
+        yield data[:37]
+        yield data[37:90]
+        yield data[90:]
+
+    src = IterableSource(factory, 100, 2)
+    blocks = list(src.superbatches(40))
+    assert [b.shape[0] for b in blocks] == [40, 40, 20]
+    np.testing.assert_array_equal(np.concatenate(blocks), data)
+    # re-iterable: second epoch sees the same rows
+    np.testing.assert_array_equal(
+        np.concatenate(list(src.superbatches(64))), data
+    )
+
+
+def test_epoch_timer_and_trace(tmp_path):
+    from xpysom_dask_tpu.utils.profiling import EpochTimer, annotate, trace
+
+    timer = EpochTimer()
+    som = XPySom(4, 4, 2, random_seed=0)
+    data = np.random.RandomState(0).rand(64, 2).astype(np.float32)
+    with trace(tmp_path):
+        with annotate("epochs"):
+            for t in range(3):
+                som.train(data, 3, iter_beg=t, iter_end=t + 1)
+                timer.tick()
+    assert len(timer.durations) == 3
+    assert "3 epochs" in timer.summary()
+    import os
+
+    written = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+    assert written, "profiler trace should write files"

@@ -33,6 +33,7 @@ __all__ = [
     "DataSource",
     "ArraySource",
     "FileSource",
+    "IterableSource",
     "train_streaming",
     "stats_streaming",
 ]
@@ -67,6 +68,49 @@ class ArraySource:
         for start in range(0, n, rows):
             block = np.asarray(self.array[start : start + rows], dtype=np.float32)
             yield block
+
+
+class IterableSource:
+    """DataSource over any re-iterable batch producer — a callable
+    returning an iterator of ``(n_i, D)`` arrays per epoch. Adapts external
+    input pipelines (grain datasets, tf.data, generators) to the streaming
+    trainer; batches are re-blocked to the requested superbatch size.
+
+    ``factory`` is called once per epoch, so the producer may reshuffle or
+    re-read between epochs.
+    """
+
+    def __init__(self, factory, n_rows: int, n_cols: int):
+        self.factory = factory
+        self.n_rows = int(n_rows)
+        self.n_cols = int(n_cols)
+
+    def __len__(self):
+        return self.n_rows
+
+    @property
+    def dim(self):
+        return self.n_cols
+
+    def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        pending = []
+        have = 0
+        for batch in self.factory():
+            batch = np.asarray(batch, dtype=np.float32)
+            if batch.ndim != 2 or batch.shape[1] != self.n_cols:
+                raise ValueError(
+                    f"expected (n, {self.n_cols}) batches, got {batch.shape}"
+                )
+            pending.append(batch)
+            have += batch.shape[0]
+            while have >= rows:
+                block = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                yield block[:rows]
+                rest = block[rows:]
+                pending = [rest] if rest.shape[0] else []
+                have = rest.shape[0]
+        if have:
+            yield np.concatenate(pending) if len(pending) > 1 else pending[0]
 
 
 class FileSource:
