@@ -89,3 +89,18 @@ def test_grid_mesh_validation():
         XPySom(5, 4, 2, random_seed=0, mesh=mesh).train(
             np.random.rand(32, 2).astype(np.float32), 1
         )
+
+
+def test_grid_sharded_streaming_matches_single():
+    """Streaming through a (data, model) mesh must equal resident
+    single-device training (was previously silently replicated)."""
+    mesh = _mesh(2, 2)
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    rng = np.random.RandomState(7)
+    data = rng.rand(512, 4).astype(np.float32)
+    single = XPySom(4, 4, 4, random_seed=3, n_parallel=64)
+    single.train(data, 3)
+    sharded = XPySom(4, 4, 4, random_seed=3, n_parallel=64, mesh=mesh)
+    sharded.train(ArraySource(data), 3)
+    np.testing.assert_allclose(sharded._weights, single._weights, rtol=1e-4, atol=1e-5)

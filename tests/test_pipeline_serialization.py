@@ -206,3 +206,14 @@ def test_epoch_timer_and_trace(tmp_path):
 
     written = [f for _, _, fs in os.walk(tmp_path) for f in fs]
     assert written, "profiler trace should write files"
+
+
+def test_checkpoint_extensionless_path(tmp_path):
+    """save->load must round-trip for paths without the .npz extension
+    (np.savez appends it on write)."""
+    som = XPySom(3, 3, 2, random_seed=1)
+    p = tmp_path / "ck"  # no extension
+    som.save_checkpoint(p, epoch=1)
+    loaded = XPySom.load_checkpoint(p)
+    np.testing.assert_array_equal(loaded._weights, som._weights)
+    assert loaded._checkpoint_epoch == 1

@@ -215,3 +215,49 @@ def test_sigma_default_and_warn():
     assert s._sigma == 2.0
     with pytest.warns(UserWarning):
         XPySom(3, 3, 1, sigma=5)
+
+
+def test_pickle_with_explicit_mesh():
+    import pickle
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from xpysom_dask_tpu.parallel.mesh import make_data_mesh
+
+    som = XPySom(4, 4, 2, mesh=make_data_mesh(2), random_seed=0)
+    loaded = pickle.loads(pickle.dumps(som))
+    assert loaded._mesh is not None
+    np.testing.assert_array_equal(loaded._weights, som._weights)
+
+
+def test_winner_duck_typing():
+    """winner()/activate() must accept .compute()/.to_numpy() objects like
+    predict() does (dask/cudf duck-typing ladder)."""
+
+    class FakeDask:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def compute(self):
+            return self.arr
+
+    som = XPySom(5, 5, 1, std_coeff=1)
+    som._weights = np.zeros((5, 5, 1))
+    som._weights[2, 3] = 5.0
+    wrapped = FakeDask(np.array([[5.0], [0.1]], dtype=np.float32))
+    assert som.winner(wrapped) == [(2, 3), (0, 0)]
+    assert som.activate(FakeDask(np.array([[5.0]], np.float32))).argmin() == 13
+
+
+def test_te_1x1_map_warns_nan():
+    with pytest.warns(UserWarning):
+        som = XPySom(1, 1, 4, random_seed=0)
+        assert np.isnan(som.topographic_error(np.random.rand(4, 4)))
+
+
+def test_te_nonsquare_hex_raises():
+    som = XPySom(8, 3, 2, topology="hexagonal", random_seed=0)
+    with pytest.raises(ValueError, match="square"):
+        som.topographic_error(np.random.rand(10, 2).astype(np.float32))

@@ -181,15 +181,23 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
 
 def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
-    ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero)."""
+    ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
+
+    Each chunk scatters into a *fresh* per-chunk partial which is then
+    added to the carry: scattering +1.0 rows directly into a large f32
+    total silently drops increments once a node's count passes 2^24
+    (f32 ulp = 2); chunk-sized partials keep every addend representable
+    at huge-N scale (the residual is ≤1 ulp per chunk-total add)."""
+
+    d_dim0 = data.shape[-1]
 
     def body(carry, xs):
         s, cnt = carry
         x, m = xs
         bmu = _bmu_chunk(dist, x, w_flat, w_sq)
-        s = s.at[bmu].add(x * m[:, None])
-        cnt = cnt.at[bmu].add(m)
-        return (s, cnt), None
+        s_c = jnp.zeros((xy, d_dim0), dtype=_F32).at[bmu].add(x * m[:, None])
+        cnt_c = jnp.zeros((xy,), dtype=_F32).at[bmu].add(m)
+        return (s + s_c, cnt + cnt_c), None
 
     d_dim = data.shape[-1]
     init = (
@@ -441,6 +449,16 @@ def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     indexes the ``(y, x)``-shaped coordinate mesh with ``[bx, by]`` exactly
     as the reference does — self-consistent for the square maps it targets."""
     xy = spec.xy
+    if spec.topology == "hexagonal" and spec.x != spec.y:
+        # The hex branch replicates the reference's indexing of the
+        # (y, x)-shaped coordinate mesh with [bx, by] (xpysom.py:742-743),
+        # which is only self-consistent for square maps; the reference
+        # raises IndexError on non-square input, XLA would silently clamp.
+        raise ValueError(
+            "topographic_error on hexagonal topology requires a square map "
+            f"(got {spec.x}x{spec.y}); the reference's coordinate indexing "
+            "(xpysom.py:742-743) is undefined for non-square hex maps"
+        )
     xx_np, yy_np = grid_coordinates(spec.x, spec.y, spec.topology)
     xx = jnp.asarray(xx_np, _F32)
     yy = jnp.asarray(yy_np, _F32)

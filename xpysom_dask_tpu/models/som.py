@@ -254,7 +254,7 @@ class XPySom:
         neuron j to sample n. For the default 'euclidean' this is the
         *partial* squared distance (argmin-equivalent; reference
         xpysom.py:323-354, distances.py:163)."""
-        x2d = np.atleast_2d(_as_numpy_2d(np.asarray(x, dtype=np.float32)))
+        x2d = np.atleast_2d(_as_numpy_2d(x))
         dist = self._spec.distance_fn()
         w_flat = np.asarray(self._weights, dtype=np.float32).reshape(
             -1, self._input_len
@@ -262,21 +262,22 @@ class XPySom:
         out = dist.flat(jnp.asarray(x2d), jnp.asarray(w_flat))
         return np.asarray(out)
 
-    def _winner_flat(self, data2d: np.ndarray) -> np.ndarray:
+    def _winner_flat(self, data2d: np.ndarray, spec: SomSpec = None) -> np.ndarray:
+        spec = spec or self._spec
         chunks, _, n = self._chunked(data2d)
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import make_bmu_fn_2d
 
-            bmu_fn = make_bmu_fn_2d(self._spec, self._mesh)
+            bmu_fn = make_bmu_fn_2d(spec, self._mesh)
         else:
-            bmu_fn = core.make_bmu_fn(self._spec, self._mesh)
+            bmu_fn = core.make_bmu_fn(spec, self._mesh)
         bmu = bmu_fn(self._device_weights(), chunks)
         return np.asarray(bmu).reshape(-1)[:n]
 
     def winner(self, x):
         """Coordinates of the winning neurons for samples x
         (reference xpysom.py:370-408)."""
-        arr = _as_numpy_2d(np.asarray(x, dtype=np.float32))
+        arr = _as_numpy_2d(x)
         single = arr.ndim <= 1
         data2d = np.atleast_2d(arr)
         flat = self._winner_flat(data2d)
@@ -319,21 +320,6 @@ class XPySom:
         if iter_end is None:
             iter_end = num_epochs
 
-        if checkpoint_every and checkpoint_path:
-            # segment the run at checkpoint boundaries; each segment uses
-            # the fused path internally
-            for seg_beg in range(iter_beg, iter_end, checkpoint_every):
-                seg_end = min(seg_beg + checkpoint_every, iter_end)
-                self.train(
-                    data,
-                    num_epochs,
-                    iter_beg=seg_beg,
-                    iter_end=seg_end,
-                    verbose=verbose,
-                )
-                self.save_checkpoint(checkpoint_path, epoch=seg_end)
-            return self
-
         # Out-of-core path: DataSource-like objects and np.memmap stream
         # superbatches through the device instead of residing on it
         # (parallel.pipeline; replaces the reference's Dask-chunk shipping).
@@ -345,21 +331,30 @@ class XPySom:
                 ProgressReporter(num_epochs * len(source)) if verbose else None
             )
             n_src = len(source)
-            self._weights = train_streaming(
-                self._spec,
-                np.asarray(self._weights, dtype=np.float32),
-                source,
-                num_epochs,
-                iter_beg=iter_beg,
-                iter_end=iter_end,
-                chunk=self._n_parallel,
-                mesh=self._mesh,
-                progress=(
-                    (lambda t: reporter.update(t * n_src + n_src - 1))
-                    if reporter
-                    else None
-                ),
+
+            def stream_progress(t):
+                reporter.update(t * n_src + n_src - 1)
+
+            seg = checkpoint_every if (checkpoint_every and checkpoint_path) else (
+                iter_end - iter_beg
             )
+            w_host = np.asarray(self._weights, dtype=np.float32)
+            for seg_beg in range(iter_beg, iter_end, max(seg, 1)):
+                seg_end = min(seg_beg + seg, iter_end)
+                w_host = train_streaming(
+                    self._spec,
+                    w_host,
+                    source,
+                    num_epochs,
+                    iter_beg=seg_beg,
+                    iter_end=seg_end,
+                    chunk=self._n_parallel,
+                    mesh=self._mesh,
+                    progress=stream_progress if reporter else None,
+                )
+                self._weights = w_host
+                if checkpoint_every and checkpoint_path:
+                    self.save_checkpoint(checkpoint_path, epoch=seg_end)
             return self
 
         data2d = _as_numpy_2d(data)
@@ -381,16 +376,30 @@ class XPySom:
             for t in range(iter_beg, iter_end):
                 w = epoch_fn(w, chunks, mask, jnp.int32(t))
                 reporter.update(t * n + n - 1)
+                if checkpoint_every and checkpoint_path and (
+                    (t + 1 - iter_beg) % checkpoint_every == 0 or t + 1 == iter_end
+                ):
+                    self._weights = np.asarray(jax.device_get(w))
+                    self.save_checkpoint(checkpoint_path, epoch=t + 1)
         else:
-            # whole run in one executable (on-device epoch loop)
+            # whole run in one executable per checkpoint segment (data and
+            # codebook stay on device across segments)
             train_fn = (
                 _gs.make_train_fn_2d(self._spec, num_epochs, self._mesh)
                 if grid
                 else core.make_train_fn(self._spec, num_epochs, self._mesh)
             )
-            w = train_fn(
-                w, chunks, mask, jnp.int32(iter_beg), jnp.int32(iter_end)
+            seg = checkpoint_every if (checkpoint_every and checkpoint_path) else (
+                iter_end - iter_beg
             )
+            for seg_beg in range(iter_beg, iter_end, max(seg, 1)):
+                seg_end = min(seg_beg + seg, iter_end)
+                w = train_fn(
+                    w, chunks, mask, jnp.int32(seg_beg), jnp.int32(seg_end)
+                )
+                if checkpoint_every and checkpoint_path:
+                    self._weights = np.asarray(jax.device_get(w))
+                    self.save_checkpoint(checkpoint_path, epoch=seg_end)
 
         self._weights = np.asarray(jax.device_get(w))
 
@@ -423,22 +432,17 @@ class XPySom:
         """Code book vector of the winning neuron for each sample
         (reference xpysom.py:620-645). BMU by euclidean distance regardless
         of the activation distance, matching the reference."""
+        import dataclasses
+
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
         spec = self._spec
         eucl_spec = (
             spec
             if spec.distance == "euclidean"
-            else SomSpec(**{**spec.__dict__, "distance": "euclidean", "distance_kwargs": ()})
+            else dataclasses.replace(spec, distance="euclidean", distance_kwargs=())
         )
-        chunks, _, n = self._chunked(data2d)
-        if self._is_grid_mesh():
-            from ..parallel.grid_sharded import make_bmu_fn_2d
-
-            bmu_fn = make_bmu_fn_2d(eucl_spec, self._mesh)
-        else:
-            bmu_fn = core.make_bmu_fn(eucl_spec, self._mesh)
-        bmu = np.asarray(bmu_fn(self._device_weights(), chunks)).reshape(-1)[:n]
+        bmu = self._winner_flat(data2d, spec=eucl_spec)
         return self._weights.reshape(-1, self._input_len)[bmu]
 
     def distance_from_weights(self, data, weights=None):
@@ -481,8 +485,11 @@ class XPySom:
         adjacent (reference xpysom.py:709-746)."""
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
-        total_neurons = np.prod(self._weights.shape)
-        if total_neurons == 1:
+        # reference guards on prod(weights.shape) (xpysom.py:721) and then
+        # degrades to a NaN-with-warnings mean over an empty diff for 1x1
+        # maps with D > 1; we guard on the actual neuron count so every 1x1
+        # map returns NaN instead of crashing in top-2 selection
+        if self._x * self._y == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
             return np.nan
         if self._is_grid_mesh():
@@ -629,8 +636,14 @@ class XPySom:
     def __getstate__(self):
         """Pickle support (reference xpysom.py:868-878): drop live device
         handles; everything else is plain host state."""
+        from jax.sharding import Mesh
+
         state = self.__dict__.copy()
         state["_mesh"] = None  # meshes hold device handles; re-resolve on load
+        if isinstance(state.get("_mesh_arg"), Mesh):
+            # an explicit Mesh holds Device handles: remember only its
+            # device count and re-resolve a data mesh on the loading host
+            state["_mesh_arg"] = int(state["_mesh_arg"].devices.size)
         return state
 
     def __setstate__(self, state):

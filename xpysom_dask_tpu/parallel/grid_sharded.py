@@ -44,6 +44,8 @@ MODEL_AXIS = "model"
 
 __all__ = [
     "make_grid_mesh",
+    "make_stats_fn_2d",
+    "make_update_fn_2d",
     "make_epoch_fn_2d",
     "make_train_fn_2d",
     "make_bmu_fn_2d",
@@ -132,9 +134,11 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
         mine = (bmu >= offset) & (bmu < offset + rows)
         local_idx = jnp.clip(bmu - offset, 0, rows - 1)
         contrib = m * mine.astype(_F32)
-        s = s.at[local_idx].add(x * contrib[:, None])
-        cnt = cnt.at[local_idx].add(contrib)
-        return (s, cnt), None
+        # fresh per-chunk partials: see core._accumulate_stats (f32 2^24
+        # increment-loss guard for huge-N)
+        s_c = jnp.zeros_like(s).at[local_idx].add(x * contrib[:, None])
+        cnt_c = jnp.zeros_like(cnt).at[local_idx].add(contrib)
+        return (s + s_c, cnt + cnt_c), None
 
     init = (
         jnp.zeros((rows, spec.input_len), dtype=_F32),
@@ -205,6 +209,57 @@ def make_train_fn_2d(spec: SomSpec, num_epochs: int, mesh: Mesh):
         run,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+        out_specs=P(MODEL_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def make_stats_fn_2d(spec: SomSpec, mesh: Mesh):
+    """Accumulate-only half of an epoch on a (data, model) mesh:
+    ``stats(w, data, mask) -> (S, cnt)`` with the statistics sharded over
+    'model' (used by the streaming pipeline)."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+    dist = spec.distance_fn()
+
+    def run(w_local, data, mask):
+        rows = w_local.shape[0] * w_local.shape[1]
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        return _shard_stats(spec, dist, w_flat_local, data, mask)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(MODEL_AXIS), P(MODEL_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=32)
+def make_update_fn_2d(spec: SomSpec, num_epochs: int, mesh: Mesh):
+    """Finalize half of an epoch on a (data, model) mesh:
+    ``update(w, S, cnt, t) -> w'`` with w and stats sharded over 'model'."""
+    _local_rows(spec, mesh.shape[MODEL_AXIS])
+
+    def run(w_local, s_local, cnt_local, t):
+        rows = w_local.shape[0] * w_local.shape[1]
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        eta, sig = _decays(spec, t, num_epochs)
+        s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
+        cnt = jax.lax.all_gather(cnt_local, MODEL_AXIS, axis=0, tiled=True)
+        w_flat = jax.lax.all_gather(w_flat_local, MODEL_AXIS, axis=0, tiled=True)
+        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        new_local = jax.lax.dynamic_slice_in_dim(new_flat, offset, rows, axis=0)
+        return new_local.reshape(w_local.shape)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(MODEL_AXIS), P()),
         out_specs=P(MODEL_AXIS),
         check_vma=False,
     )

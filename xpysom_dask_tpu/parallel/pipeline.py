@@ -181,6 +181,22 @@ def _put(arr, mesh, sharded: bool):
     )
 
 
+def _is_grid(mesh):
+    from .grid_sharded import is_grid_mesh
+
+    return is_grid_mesh(mesh)
+
+
+def _put_codebook(w, mesh):
+    if mesh is None:
+        return jnp.asarray(w)
+    if _is_grid(mesh):
+        from .grid_sharded import codebook_sharding
+
+        return jax.device_put(w, codebook_sharding(mesh))
+    return jax.device_put(w, replicated_sharding(mesh))
+
+
 def stats_streaming(
     spec: SomSpec,
     w,
@@ -190,9 +206,17 @@ def stats_streaming(
     mesh=None,
 ):
     """One epoch's sufficient statistics ``(S, cnt)`` folded over streamed
-    superbatches. ``w`` must already live on device (replicated)."""
-    stats_fn = make_stats_fn(spec, mesh)
-    n_shards = mesh.devices.size if mesh is not None else 1
+    superbatches. ``w`` must already live on device (replicated, or
+    codebook-sharded on a (data, model) mesh — the statistics then stay
+    sharded over 'model')."""
+    if mesh is not None and _is_grid(mesh):
+        from .grid_sharded import make_stats_fn_2d
+
+        stats_fn = make_stats_fn_2d(spec, mesh)
+        n_shards = int(mesh.shape["data"])
+    else:
+        stats_fn = make_stats_fn(spec, mesh)
+        n_shards = mesh.devices.size if mesh is not None else 1
 
     @jax.jit
     def fold(a, b):
@@ -237,8 +261,13 @@ def train_streaming(
     if superbatch_rows is None:
         d = getattr(source, "dim", spec.input_len)
         superbatch_rows = max(1 << 16, min(1 << 22, (1 << 28) // (4 * max(d, 1))))
-    update_fn = make_update_fn(spec, num_epochs)
-    w = _put(np.asarray(weights, dtype=np.float32), mesh, sharded=False)
+    if mesh is not None and _is_grid(mesh):
+        from .grid_sharded import make_update_fn_2d
+
+        update_fn = make_update_fn_2d(spec, num_epochs, mesh)
+    else:
+        update_fn = make_update_fn(spec, num_epochs)
+    w = _put_codebook(np.asarray(weights, dtype=np.float32), mesh)
     for t in range(iter_beg, iter_end):
         s, cnt = stats_streaming(spec, w, source, chunk, superbatch_rows, mesh)
         w = update_fn(w, s, cnt, jnp.int32(t))

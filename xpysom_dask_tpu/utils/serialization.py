@@ -23,6 +23,14 @@ __all__ = ["save", "load", "save_checkpoint", "load_checkpoint"]
 _FORMAT_VERSION = 1
 
 
+def _norm_path(path) -> str:
+    """np.savez appends '.npz' to extension-less paths; normalize both save
+    and load to the same name so the documented save->resume round-trip
+    works for any path."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save(som, path):
     """Pickle convenience (equivalent to the reference's pickle usage,
     tests.py:145-150)."""
@@ -62,6 +70,7 @@ def save_checkpoint(som, path, *, epoch=None):
     have completed, so training can resume with
     ``train(data, T, iter_beg=epoch)``.
     """
+    path = _norm_path(path)
     header = {
         "format_version": _FORMAT_VERSION,
         "config": _config_dict(som),
@@ -87,7 +96,7 @@ def load_checkpoint(path, *, mesh=None):
     the host, not the checkpoint."""
     from ..models.som import XPySom
 
-    with np.load(path) as z:
+    with np.load(_norm_path(path)) as z:
         header = json.loads(bytes(z["header"]).decode())
         if header["format_version"] > _FORMAT_VERSION:
             raise ValueError(
