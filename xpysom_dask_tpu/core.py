@@ -148,16 +148,24 @@ def _neighborhood_op(spec: SomSpec, sigma):
     )
 
 
-def _use_pallas_bmu(dist: DistanceFunction) -> bool:
+# Widest feature dimension the fused kernel accepts: beyond this the
+# per-step VMEM footprint (input tiles scale with D alongside the fixed
+# distance tile) exceeds the ~16 MB budget and Mosaic compilation OOMs.
+_PALLAS_MAX_D = 256
+
+
+def _use_pallas_bmu(dist: DistanceFunction, d_dim: int) -> bool:
     """The fused Pallas BMU kernel replaces distance+argmin for the
-    euclidean activation on TPU backends (trace-time decision). Set
+    euclidean activation on TPU backends (trace-time decision — the env
+    switches are read when the enclosing jit first traces). Set
     XPYSOM_TPU_NO_PALLAS=1 to force the plain-XLA formulation (the
-    reference's ``_no_opt`` pattern)."""
+    reference's ``_no_opt`` pattern); wide-feature configs fall back to
+    XLA automatically (VMEM budget)."""
     import os
 
     if os.environ.get("XPYSOM_TPU_NO_PALLAS"):
         return False
-    if dist.name != "euclidean":
+    if dist.name != "euclidean" or d_dim > _PALLAS_MAX_D:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -170,7 +178,7 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
     First-index tie-breaking matches NumPy/CuPy argmin. On TPU with the
     euclidean activation this is the fused Pallas kernel (distance tile
     never leaves VMEM); otherwise distance matrix + argmin in XLA."""
-    if _use_pallas_bmu(dist):
+    if _use_pallas_bmu(dist, x.shape[-1]):
         from .ops.pallas.bmu import bmu_euclidean
 
         idx, _ = bmu_euclidean(x, w_flat, w_sq)
@@ -189,17 +197,16 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
     (f32 ulp = 2); chunk-sized partials keep every addend representable
     at huge-N scale (the residual is ≤1 ulp per chunk-total add)."""
 
-    d_dim0 = data.shape[-1]
+    d_dim = data.shape[-1]
 
     def body(carry, xs):
         s, cnt = carry
         x, m = xs
         bmu = _bmu_chunk(dist, x, w_flat, w_sq)
-        s_c = jnp.zeros((xy, d_dim0), dtype=_F32).at[bmu].add(x * m[:, None])
+        s_c = jnp.zeros((xy, d_dim), dtype=_F32).at[bmu].add(x * m[:, None])
         cnt_c = jnp.zeros((xy,), dtype=_F32).at[bmu].add(m)
         return (s + s_c, cnt + cnt_c), None
 
-    d_dim = data.shape[-1]
     init = (
         jnp.zeros((xy, d_dim), dtype=_F32),
         jnp.zeros((xy,), dtype=_F32),

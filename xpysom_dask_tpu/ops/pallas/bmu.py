@@ -166,8 +166,19 @@ def supported() -> bool:
 
 
 def _mode() -> str:
+    """Resolved at trace time of the enclosing jit: later env changes in
+    the same process do not retrace (documented in docs/API.md)."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
-    return m if m in ("highest", "split3", "packed") else "packed"
+    if m in ("highest", "split3", "packed"):
+        return m
+    if m:
+        import warnings
+
+        warnings.warn(
+            f"XPYSOM_BMU_PRECISION={m!r} not recognized "
+            "(expected packed|split3|highest); using 'packed'"
+        )
+    return "packed"
 
 
 @partial(jax.jit, static_argnames=("interpret", "mode"))

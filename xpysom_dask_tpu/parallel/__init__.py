@@ -4,7 +4,13 @@ TPU-native replacement of the reference's inline Dask branches
 
 from .grid_sharded import codebook_sharding, is_grid_mesh, make_grid_mesh
 from .mesh import data_sharding, make_data_mesh, replicated_sharding, resolve_mesh
-from .pipeline import ArraySource, FileSource, train_streaming
+from .pipeline import (
+    ArraySource,
+    FileSource,
+    IterableSource,
+    stats_streaming,
+    train_streaming,
+)
 
 __all__ = [
     "make_data_mesh",
@@ -16,5 +22,7 @@ __all__ = [
     "codebook_sharding",
     "ArraySource",
     "FileSource",
+    "IterableSource",
+    "stats_streaming",
     "train_streaming",
 ]

@@ -91,18 +91,14 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq):
     TPU (euclidean), else the XLA distance matrix."""
     from ..core import _use_pallas_bmu
 
-    if _use_pallas_bmu(dist):
+    if _use_pallas_bmu(dist, x.shape[-1]):
         from ..ops.pallas.bmu import bmu_euclidean
 
         idx, val = bmu_euclidean(x, w_local, w_sq)
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
-    local_min = jnp.min(d_local, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, d_local.shape, 1)
-    local_arg = jnp.min(
-        jnp.where(d_local == local_min[:, None], lane, _BIG_I32), axis=1
-    )
-    return local_min, local_arg
+    # jnp.argmin is first-index on ties, same as the kernel's iota trick
+    return jnp.min(d_local, axis=1), jnp.argmin(d_local, axis=1).astype(jnp.int32)
 
 
 def _global_bmu(local_min, local_arg, offset):
@@ -322,12 +318,17 @@ def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
             mine = (bmu >= offset) & (bmu < offset + rows)
             local_idx = jnp.clip(bmu - offset, 0, rows - 1)
             err_local = jnp.linalg.norm(x - w_flat_local[local_idx], axis=1)
-            err = jax.lax.psum(err_local * mine.astype(_F32), MODEL_AXIS)
-            return (tot + jnp.sum(err * m), n + jnp.sum(m)), None
+            # accumulate the shard-local masked error; one model-axis psum
+            # after the scan instead of one per chunk
+            return (
+                tot + jnp.sum(err_local * mine.astype(_F32) * m),
+                n + jnp.sum(m),
+            ), None
 
         (tot, n), _ = jax.lax.scan(
             body, (jnp.float32(0), jnp.float32(0)), (data, mask)
         )
+        tot = jax.lax.psum(tot, MODEL_AXIS)
         return jax.lax.psum(tot, DATA_AXIS), jax.lax.psum(n, DATA_AXIS)
 
     sharded = jax.shard_map(

@@ -255,12 +255,12 @@ def train_streaming(
     the reference's per-epoch accumulate-then-merge, xpysom.py:515-577).
 
     ``superbatch_rows`` defaults to a ~256 MB device-resident block
-    (scaled by the feature width), clamped to [2^16, 2^22] rows."""
+    (scaled by the feature width), clamped to [4096, 2^22] rows."""
     if iter_end is None:
         iter_end = num_epochs
     if superbatch_rows is None:
         d = getattr(source, "dim", spec.input_len)
-        superbatch_rows = max(1 << 16, min(1 << 22, (1 << 28) // (4 * max(d, 1))))
+        superbatch_rows = max(4096, min(1 << 22, (1 << 28) // (4 * max(d, 1))))
     if mesh is not None and _is_grid(mesh):
         from .grid_sharded import make_update_fn_2d
 
