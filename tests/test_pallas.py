@@ -84,3 +84,16 @@ def test_bmu_modes_agree(mode):
     ).sum(1)
     np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
     np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("d", [256, 512, 1024, 2048])
+def test_bmu_wide_features(d):
+    """D-adaptive tiles: wide-feature configs stay on the fused kernel."""
+    rng = np.random.RandomState(d)
+    x = rng.rand(64, d).astype(np.float32)
+    w = rng.rand(300, d).astype(np.float32)
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    dref = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))

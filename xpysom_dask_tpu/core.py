@@ -148,10 +148,10 @@ def _neighborhood_op(spec: SomSpec, sigma):
     )
 
 
-# Widest feature dimension the fused kernel accepts: beyond this the
-# per-step VMEM footprint (input tiles scale with D alongside the fixed
-# distance tile) exceeds the ~16 MB budget and Mosaic compilation OOMs.
-_PALLAS_MAX_D = 256
+# Widest feature dimension the fused kernel accepts (tiles shrink with D,
+# see ops.pallas.bmu._tiles_for; beyond this even minimum tiles blow the
+# VMEM budget and Mosaic compilation OOMs).
+_PALLAS_MAX_D = 2048
 
 
 def _use_pallas_bmu(dist: DistanceFunction, d_dim: int) -> bool:

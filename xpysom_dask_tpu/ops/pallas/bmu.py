@@ -49,9 +49,20 @@ _BIG_I32 = np.int32(2**31 - 1)
 
 # Tile sizes: TN samples × TJ codebook nodes per VMEM-resident distance
 # tile; (TN·TJ + temps) · 4B must fit ~16 MB VMEM with double-buffered
-# inputs. (1024, 1024) measured fastest among fitting configs on v5e.
+# inputs. (1024, 1024) measured fastest among fitting configs on v5e for
+# narrow features; tiles shrink with D (input tiles scale with D).
 _TN = 1024
 _TJ = 1024
+
+
+def _tiles_for(d_dim: int):
+    """Shrink the sample/lane tiles as the feature width grows so the
+    per-step VMEM footprint (inputs ~4·T·D bytes + distance tile + temps)
+    stays inside budget."""
+    scale = max(1, d_dim // 128)
+    tn = max(128, _TN // scale)
+    tj = max(256, _TJ // scale)
+    return tn, tj
 
 
 def _split_bf16(a):
@@ -200,8 +211,9 @@ def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
         w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
     w_sq = w_sq.reshape(1, xy)
 
-    tn = min(_TN, max(8, -(-n // 8) * 8))
-    tj = min(_TJ, max(128, -(-xy // 128) * 128))
+    tn_max, tj_max = _tiles_for(d_dim)
+    tn = min(tn_max, max(8, -(-n // 8) * 8))
+    tj = min(tj_max, max(128, -(-xy // 128) * 128))
     n_pad = -(-n // tn) * tn
     xy_pad = -(-xy // tj) * tj
 
