@@ -57,12 +57,15 @@ _TJ = 1024
 
 def _tiles_for(d_dim: int):
     """Shrink the sample/lane tiles as the feature width grows so the
-    per-step VMEM footprint (inputs ~4·T·D bytes + distance tile + temps)
-    stays inside budget."""
-    scale = max(1, d_dim // 128)
-    tn = max(128, _TN // scale)
-    tj = max(256, _TJ // scale)
-    return tn, tj
+    per-step VMEM footprint (inputs ~4·T·D bytes + 8·TN·TJ distance/temp
+    bytes) stays inside an ~8 MB working budget."""
+    if d_dim <= 256:
+        return _TN, _TJ  # (1024, 1024): measured fastest on v5e
+    if d_dim <= 512:
+        return 512, 1024  # 9.4 ms at 8192x4096x512 (square tiles were 15x slower)
+    if d_dim <= 1024:
+        return 256, 512
+    return 128, 256
 
 
 def _split_bf16(a):
