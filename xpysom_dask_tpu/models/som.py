@@ -206,9 +206,16 @@ class XPySom:
         return self._mesh.devices.size
 
     def _chunked(self, data2d: np.ndarray):
-        """Pad + chunk host data and place it on device(s)."""
+        """Pad + chunk host data and place it on device(s).
+
+        Chunk sizes are aligned to the fused kernel's sample tile (1024)
+        when larger than one tile: unaligned chunks force an in-graph pad
+        per scan step, which was measured to blow Mosaic/XLA compile time
+        from ~1.5 s to >100 s on some shapes."""
         n = data2d.shape[0]
         chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        if chunk > 1024:
+            chunk = round_up(chunk, 1024)
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=self._n_shards())
         if self._mesh is not None:
             sh = data_sharding(self._mesh)
