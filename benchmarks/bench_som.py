@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--topology", default="rectangular")
     ap.add_argument("--mesh", type=int, default=0,
                     help="data-parallel over this many devices (0 = off)")
+    ap.add_argument("--model", type=int, default=0,
+                    help="additionally shard the codebook over this many model shards")
     args = ap.parse_args()
 
     spec = SomSpec(
@@ -48,7 +50,12 @@ def main():
     rng = np.random.RandomState(0)
     mesh = None
     n_shards = 1
-    if args.mesh:
+    if args.model:
+        from xpysom_dask_tpu.parallel.grid_sharded import make_grid_mesh
+
+        mesh = make_grid_mesh(max(args.mesh, 1), args.model)
+        n_shards = max(args.mesh, 1)
+    elif args.mesh:
         from xpysom_dask_tpu.parallel.mesh import make_data_mesh
 
         mesh = make_data_mesh(args.mesh)
@@ -58,20 +65,33 @@ def main():
         rng.rand(args.n, args.d).astype(np.float32), args.chunk, multiple_of=n_shards
     )
     if mesh is not None:
+        from xpysom_dask_tpu.parallel.grid_sharded import codebook_sharding, is_grid_mesh
         from xpysom_dask_tpu.parallel.mesh import data_sharding, replicated_sharding
 
         chunks = jax.device_put(chunks, data_sharding(mesh))
         mask = jax.device_put(mask, data_sharding(mesh))
+        w_sharding = (
+            codebook_sharding(mesh) if is_grid_mesh(mesh) else replicated_sharding(mesh)
+        )
         w = jax.device_put(
-            rng.rand(args.x, args.y, args.d).astype(np.float32),
-            replicated_sharding(mesh),
+            rng.rand(args.x, args.y, args.d).astype(np.float32), w_sharding
         )
     else:
         chunks = jnp.asarray(chunks)
         mask = jnp.asarray(mask)
         w = jnp.asarray(rng.rand(args.x, args.y, args.d).astype(np.float32))
 
-    step = make_epoch_fn(spec, 100, mesh)
+    if mesh is not None:
+        from xpysom_dask_tpu.parallel.grid_sharded import is_grid_mesh
+
+        if is_grid_mesh(mesh):
+            from xpysom_dask_tpu.parallel.grid_sharded import make_epoch_fn_2d
+
+            step = make_epoch_fn_2d(spec, 100, mesh)
+        else:
+            step = make_epoch_fn(spec, 100, mesh)
+    else:
+        step = make_epoch_fn(spec, 100, mesh)
 
     def run_epoch(w, chunks, mask):
         # step donates its codebook buffer; hand it a fresh copy per rep
@@ -80,6 +100,7 @@ def main():
     print(
         f"backend={jax.default_backend()} som={args.x}x{args.y}x{args.d} "
         f"n={args.n} chunk={args.chunk} mesh={args.mesh or 'off'}"
+        + (f" model={args.model}" if args.model else "")
     )
     res = bench(run_epoch, w, chunks, mask, name="epoch", reps=args.r)
     print(res)

@@ -623,6 +623,17 @@ class XPySom:
             winmap[position] = Counter(winmap[position])
         return winmap
 
+    def __repr__(self):
+        mesh = ""
+        if self._mesh is not None:
+            mesh = f", mesh={dict(self._mesh.shape)}"
+        return (
+            f"XPySom({self._x}x{self._y}, input_len={self._input_len}, "
+            f"topology={self.topology!r}, "
+            f"neighborhood={self.neighborhood_func_name!r}, "
+            f"distance={self._activation_distance_name!r}{mesh})"
+        )
+
     # -- serialization ---------------------------------------------------------
 
     def save_checkpoint(self, path, *, epoch=None):
