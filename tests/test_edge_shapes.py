@@ -75,3 +75,16 @@ def test_more_nodes_than_samples():
     som = XPySom(8, 8, 2, random_seed=6)
     som.train(data, 3)  # many empty cells: den==0 keeps old weights
     assert np.isfinite(som._weights).all()
+
+
+def test_chunk_alignment_keeps_results():
+    """Chunk sizes > 1024 round up to the kernel tile (compile-time fix);
+    results must be unchanged vs any other chunking."""
+    rng = np.random.RandomState(10)
+    data = rng.rand(1797, 8).astype(np.float32)  # the digits-shaped trigger
+    a = XPySom(6, 6, 8, random_seed=1, n_parallel=1800)  # -> aligned to 2048
+    b = XPySom(6, 6, 8, random_seed=1, n_parallel=512)
+    a.train(data, 4)
+    b.train(data, 4)
+    np.testing.assert_allclose(a._weights, b._weights, rtol=1e-4, atol=1e-5)
+    assert a._chunked(data)[0].shape[1] % 1024 == 0 or a._chunked(data)[0].shape[1] <= 1024
