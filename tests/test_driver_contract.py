@@ -54,6 +54,41 @@ def test_graft_entry():
         g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_like_driver():
+    """Reproduce the driver's invocation: a fresh subprocess whose JAX
+    platform has ONE device (no conftest platform forcing, no
+    host-device-count flag). ``dryrun_multichip(8)`` must detect the
+    shortfall and re-exec itself onto a virtual 8-CPU mesh — the exact
+    failure mode of MULTICHIP_r01.json."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # driver runs on axon; cpu here so the test never claims the TPU
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    # Strip the conftest-injected virtual-device flag: the driver's
+    # process sees exactly one device, and so must this one.
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env.pop("_XSOM_DRYRUN_CHILD", None)
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8); "
+            "print('DRYRUN_OK')",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+    assert "DRYRUN_OK" in out.stdout
+
+
 @pytest.mark.parametrize(
     "n,chunk,mult",
     [(1, 8, 1), (7, 8, 1), (8, 8, 1), (9, 8, 1), (5, 8, 4), (100, 32, 8)],
