@@ -91,6 +91,28 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     np.testing.assert_allclose(resumed._weights, full._weights, rtol=1e-5, atol=1e-6)
 
 
+def test_checkpoint_without_epoch_resumes_from_zero(tmp_path):
+    """save_checkpoint(path) with no epoch= must load with
+    _checkpoint_epoch == 0 so the documented resume recipe
+    train(..., iter_beg=ckpt._checkpoint_epoch) works (ADVICE r1)."""
+    som = XPySom(4, 4, 2, random_seed=11)
+    ckpt = tmp_path / "noepoch.npz"
+    som.save_checkpoint(ckpt)
+    loaded = XPySom.load_checkpoint(ckpt)
+    assert loaded._checkpoint_epoch == 0
+    data = np.random.RandomState(1).rand(32, 2).astype(np.float32)
+    loaded.train(data, 2, iter_beg=loaded._checkpoint_epoch)  # must not raise
+
+
+def test_streaming_verbose_prints_qe(capsys):
+    """The streaming path must emit the same end-of-training QE line as
+    the resident path / reference xpysom.py:591-592 (ADVICE r1)."""
+    data = np.random.RandomState(5).rand(200, 3).astype(np.float32)
+    som = XPySom(4, 4, 3, random_seed=1, n_parallel=32)
+    som.train(ArraySource(data), 2, verbose=True)
+    assert "quantization error" in capsys.readouterr().out
+
+
 def test_checkpoint_preserves_rng_stream(tmp_path):
     som = XPySom(4, 4, 2, random_seed=9)
     data = np.random.RandomState(0).rand(20, 2)

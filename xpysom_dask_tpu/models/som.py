@@ -211,11 +211,13 @@ class XPySom:
         Chunk sizes are aligned to the fused kernel's sample tile (1024)
         when larger than one tile: unaligned chunks force an in-graph pad
         per scan step, which was measured to blow Mosaic/XLA compile time
-        from ~1.5 s to >100 s on some shapes."""
+        from ~1.5 s to >100 s on some shapes. Alignment rounds DOWN so a
+        user-specified ``n_parallel`` (a memory budget, reference
+        xpysom.py:131-137) is never exceeded."""
         n = data2d.shape[0]
         chunk = min(self._n_parallel, round_up(max(n, 1), 8))
         if chunk > 1024:
-            chunk = round_up(chunk, 1024)
+            chunk = max(1024, (chunk // 1024) * 1024)
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=self._n_shards())
         if self._mesh is not None:
             sh = data_sharding(self._mesh)
@@ -362,6 +364,13 @@ class XPySom:
                 self._weights = w_host
                 if checkpoint_every and checkpoint_path:
                     self.save_checkpoint(checkpoint_path, epoch=seg_end)
+            if verbose:
+                # End-of-training QE print, matching the resident path and
+                # the reference (xpysom.py:591-592). Full-source QE would
+                # re-stream everything, so evaluate on the first
+                # superbatch (bounded, deterministic sample).
+                sample = next(source.superbatches(min(n_src, 65536)))
+                print("\n quantization error:", self.quantization_error(sample))
             return self
 
         data2d = _as_numpy_2d(data)
@@ -520,20 +529,27 @@ class XPySom:
     # -- weight initialization ------------------------------------------------
 
     def random_weights_init(self, data):
-        """Init weights by picking random data samples (reference
-        xpysom.py:749-759); same nditer order and RNG stream."""
+        """Init weights by picking random data samples (semantics of
+        reference xpysom.py:749-759). One vectorized sized draw: a legacy
+        ``RandomState.randint(n, size=k)`` emits the identical stream as k
+        scalar ``randint(n)`` calls, and a C-order ``reshape(x, y)`` visits
+        cells in the reference's nditer multi-index order, so the resulting
+        codebook is bit-identical (pinned by test_som.py)."""
         self._check_input_len(data)
         data = np.asarray(data)
-        it = np.nditer(self._weights[:, :, 0], flags=["multi_index"])
-        while not it.finished:
-            rand_i = self._random_generator.randint(len(data))
-            self._weights[it.multi_index] = data[rand_i]
-            it.iternext()
+        idx = self._random_generator.randint(
+            len(data), size=self._x * self._y
+        )
+        self._weights[...] = data[idx].reshape(
+            self._x, self._y, self._input_len
+        )
 
     def pca_weights_init(self, data):
         """Init weights spanning the first two principal components
-        (reference xpysom.py:762-785, incl. its row-indexing of the
-        eigenvector matrix, which the parity tests pin down)."""
+        (semantics of reference xpysom.py:762-785, incl. its *row*-indexing
+        of the eigenvector matrix, which the parity tests pin down). The
+        grid fill is a single broadcasted outer sum over the two component
+        coefficients instead of a per-cell double loop."""
         if self._input_len == 1:
             msg = "The data needs at least 2 features for pca initialization"
             raise ValueError(msg)
@@ -546,9 +562,9 @@ class XPySom:
             warn(msg)
         pc_length, pc = np.linalg.eig(np.cov(np.transpose(data)))
         pc_order = np.argsort(-pc_length)
-        for i, c1 in enumerate(np.linspace(-1, 1, len(self._neigx))):
-            for j, c2 in enumerate(np.linspace(-1, 1, len(self._neigy))):
-                self._weights[i, j] = c1 * pc[pc_order[0]] + c2 * pc[pc_order[1]]
+        c1 = np.linspace(-1, 1, len(self._neigx))[:, None, None]
+        c2 = np.linspace(-1, 1, len(self._neigy))[None, :, None]
+        self._weights[...] = c1 * pc[pc_order[0]] + c2 * pc[pc_order[1]]
 
     # -- analysis -------------------------------------------------------------
 

@@ -35,9 +35,11 @@ Documented deviation: the reference's ``compact_support`` branch in the
 mexican-hat kernels multiplies *both* axis masks into ``px``
 (neighborhoods.py:69-71,91-93), which only broadcasts when ``X == Y`` and
 leaves ``py`` unmasked — a latent bug. We implement the evident intent
-(``px`` masked along x, ``py`` masked along y), which coincides with the
-reference on its own test configurations (square grids are the only ones it
-ever runs with compact support).
+(``px`` masked along x, ``py`` masked along y). Note this differs from the
+reference even on square grids whenever any mask entry is 0 (the reference
+double-masks ``px`` and never masks ``py``); the outputs coincide exactly
+only when the box masks are all-ones, i.e. σ spans the whole grid. See
+PARITY.md ("mexican hat + compact_support").
 """
 
 from __future__ import annotations

@@ -132,5 +132,9 @@ def load_checkpoint(path, *, mesh=None):
                 float(z["rng_gauss"][0]),
             )
         )
-        som._checkpoint_epoch = header.get("epoch")
+        # Default to 0 when the checkpoint was saved without epoch=, so the
+        # documented resume recipe train(..., iter_beg=ckpt._checkpoint_epoch)
+        # never sees None.
+        _epoch = header.get("epoch")
+        som._checkpoint_epoch = 0 if _epoch is None else int(_epoch)
     return som
