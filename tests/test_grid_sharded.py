@@ -82,6 +82,34 @@ def test_grid_sharded_tie_breaking_first_index():
     assert som.winner(np.array([0.5])) == (2, 1)
 
 
+def test_grid_sharded_topographic_error_exact():
+    """The 2-D-mesh top-2 merge (per-shard top_k + lexicographic min over
+    gathered candidates) must reproduce the single-device TE *exactly* —
+    same error count — on rect and hex square maps, trained and untrained,
+    including tie-heavy all-equal codebooks."""
+    mesh = _mesh(2, 4)
+    rng = np.random.RandomState(9)
+    data = rng.rand(400, 3).astype(np.float32)
+    for topology in ("rectangular", "hexagonal"):
+        single = XPySom(8, 8, 3, random_seed=4, n_parallel=64, topology=topology)
+        sharded = XPySom(
+            8, 8, 3, random_seed=4, n_parallel=64, topology=topology, mesh=mesh
+        )
+        assert sharded.topographic_error(data) == single.topographic_error(data)
+        single.train(data, 3)
+        # compare on IDENTICAL trained weights: separately-trained codebooks
+        # differ at fp-reassociation level, which flips discrete top-2
+        # adjacency on near-ties (the documented chaotic-parity caveat)
+        sharded._weights = single._weights.copy()
+        assert sharded.topographic_error(data) == single.topographic_error(data)
+    # adversarial ties: identical rows across every shard boundary
+    tied_s = XPySom(8, 8, 3, random_seed=5, mesh=mesh)
+    tied_1 = XPySom(8, 8, 3, random_seed=5)
+    tied_s._weights = np.zeros((8, 8, 3))
+    tied_1._weights = np.zeros((8, 8, 3))
+    assert tied_s.topographic_error(data) == tied_1.topographic_error(data)
+
+
 def test_grid_mesh_validation():
     mesh = _mesh(1, 4)
     with pytest.raises(ValueError):

@@ -508,21 +508,13 @@ class XPySom:
         if self._x * self._y == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
             return np.nan
-        if self._is_grid_mesh():
-            # top-2 search is not worth sharding (metrics are rare);
-            # compute on a single device from the full host codebook
-            chunks, mask, _ = core.chunk_data(
-                data2d, min(self._n_parallel, max(8, -(-data2d.shape[0] // 8) * 8))
-            )
-            fn = core.make_topographic_stats_fn(self._spec, None)
-            errs, n = fn(
-                jnp.asarray(np.asarray(self._weights, np.float32)),
-                jnp.asarray(chunks),
-                jnp.asarray(mask),
-            )
-            return float(errs) / float(n)
         chunks, mask, _ = self._chunked(data2d)
-        fn = core.make_topographic_stats_fn(self._spec, self._mesh)
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import make_topographic_stats_fn_2d
+
+            fn = make_topographic_stats_fn_2d(self._spec, self._mesh)
+        else:
+            fn = core.make_topographic_stats_fn(self._spec, self._mesh)
         errs, n = fn(self._device_weights(), chunks, mask)
         return float(errs) / float(n)
 

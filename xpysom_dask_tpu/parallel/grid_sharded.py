@@ -50,6 +50,7 @@ __all__ = [
     "make_train_fn_2d",
     "make_bmu_fn_2d",
     "make_quantization_stats_fn_2d",
+    "make_topographic_stats_fn_2d",
     "codebook_sharding",
     "is_grid_mesh",
 ]
@@ -292,6 +293,90 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _lexmin(vals, idxs):
+    """Per-row (min value, smallest index attaining it) — the NumPy-argmin
+    first-index tie-break, vectorized over a candidate axis."""
+    v = jnp.min(vals, axis=1)
+    i = jnp.min(jnp.where(vals == v[:, None], idxs, _BIG_I32), axis=1)
+    return v, i
+
+
+@lru_cache(maxsize=32)
+def make_topographic_stats_fn_2d(spec: SomSpec, mesh: Mesh):
+    """Sharded topographic-error statistics (reference xpysom.py:709-746):
+    ``(w, data, mask) -> (Σ errors, Σ mask)``.
+
+    Global top-2 BMUs from a codebook sharded over 'model': each shard
+    takes its local top-2 (``lax.top_k``), the ``2·k`` candidates are
+    ``all_gather``-ed over 'model' (a (chunk, 2k) tensor — tiny), and the
+    global top-2 are selected by two lexicographic (value, index) min
+    passes, preserving first-index tie-breaking exactly as the
+    single-device path. Adjacency semantics match
+    ``core.make_topographic_stats_fn``."""
+    from ..core import grid_coordinates
+
+    n_model = mesh.shape[MODEL_AXIS]
+    rows = _local_rows(spec, n_model)
+    if rows < 2:
+        raise ValueError(
+            f"topographic_error needs ≥2 codebook rows per model shard "
+            f"(got {rows}); use fewer model shards"
+        )
+    if spec.topology == "hexagonal" and spec.x != spec.y:
+        raise ValueError(
+            "topographic_error on hexagonal topology requires a square map "
+            f"(got {spec.x}x{spec.y}); the reference's coordinate indexing "
+            "(xpysom.py:742-743) is undefined for non-square hex maps"
+        )
+    eucl = DistanceFunction("euclidean")
+    xx_np, yy_np = grid_coordinates(spec.x, spec.y, spec.topology)
+    xx = jnp.asarray(xx_np, _F32)
+    yy = jnp.asarray(yy_np, _F32)
+
+    def run(w_local, data, mask):
+        w_flat_local = w_local.reshape(rows, spec.input_len)
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        w_sq = jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
+
+        def body(carry, xs):
+            errs, n = carry
+            x, m = xs
+            d_local = eucl.flat(x, w_flat_local, w_sq)
+            nv, ni = jax.lax.top_k(-d_local, 2)  # local top-2, stable
+            vals2 = -nv
+            idxs2 = ni.astype(jnp.int32) + offset
+            # (chunk, 2) per shard -> (chunk, 2k) candidates, then two
+            # lexicographic min passes for the global (top1, top2)
+            vals = jax.lax.all_gather(vals2, MODEL_AXIS, axis=1, tiled=True)
+            idxs = jax.lax.all_gather(idxs2, MODEL_AXIS, axis=1, tiled=True)
+            v1, i1 = _lexmin(vals, idxs)
+            vals_wo = jnp.where(idxs == i1[:, None], jnp.inf, vals)
+            _, i2 = _lexmin(vals_wo, idxs)
+            b1x, b1y = i1 // spec.y, i1 % spec.y
+            b2x, b2y = i2 // spec.y, i2 % spec.y
+            if spec.topology == "rectangular":
+                bad = (jnp.abs(b1x - b2x) > 1) | (jnp.abs(b1y - b2y) > 1)
+            else:
+                dx = xx[b1x, b1y] - xx[b2x, b2y]
+                dy = yy[b1x, b1y] - yy[b2x, b2y]
+                bad = jnp.sqrt(dx * dx + dy * dy) > 1.5
+            return (errs + jnp.sum(bad.astype(_F32) * m), n + jnp.sum(m)), None
+
+        (errs, n), _ = jax.lax.scan(
+            body, (jnp.float32(0), jnp.float32(0)), (data, mask)
+        )
+        return jax.lax.psum(errs, DATA_AXIS), jax.lax.psum(n, DATA_AXIS)
+
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
