@@ -1,0 +1,97 @@
+"""Worker for the 2-process jax.distributed (DCN-analog) test.
+
+Spawned by tests/test_multihost.py with argv = (process_id, num_processes,
+coordinator_port). Each process brings 2 virtual CPU devices; together
+they form a 4-device 'data' mesh spanning both processes — the
+multi-host layout of ``parallel.mesh.initialize_multihost`` (the
+rebuild's answer to the reference's user-owned dask.distributed.Client,
+README.md:52-59). Verifies that the psum of per-shard sufficient
+statistics across processes equals the single-process result.
+"""
+
+import os
+import sys
+
+# ``python tests/multihost_worker.py`` puts tests/ on sys.path, not the
+# repo root — add it so the package imports.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Env must be set before jax import (the parent also sets these; keep the
+# worker self-sufficient so it can be run by hand).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    from xpysom_dask_tpu.core import SomSpec, chunk_data, make_stats_fn
+    from xpysom_dask_tpu.parallel.mesh import (
+        data_sharding,
+        initialize_multihost,
+        make_data_mesh,
+    )
+
+    initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs, jax.process_count()
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_global == n_local * nprocs, (n_global, n_local)
+
+    mesh = make_data_mesh()  # spans every process
+    spec = SomSpec(
+        x=6,
+        y=5,
+        input_len=4,
+        sigma=3.0,
+        sigmaN=1.0,
+        learning_rate=0.5,
+        learning_rateN=0.01,
+    )
+
+    # identical data everywhere; each process materializes only the shards
+    # its local devices own (make_array_from_callback slices per device)
+    rng = np.random.RandomState(0)
+    data = rng.rand(256, spec.input_len).astype(np.float32)
+    w = rng.rand(spec.x, spec.y, spec.input_len).astype(np.float32)
+    chunks, mask, _ = chunk_data(data, 16, multiple_of=n_global)
+
+    sh = data_sharding(mesh)
+    g_chunks = jax.make_array_from_callback(
+        chunks.shape, sh, lambda idx: chunks[idx]
+    )
+    g_mask = jax.make_array_from_callback(mask.shape, sh, lambda idx: mask[idx])
+    from xpysom_dask_tpu.parallel.mesh import replicated_sharding
+
+    g_w = jax.make_array_from_callback(
+        w.shape, replicated_sharding(mesh), lambda idx: w[idx]
+    )
+
+    s, cnt = make_stats_fn(spec, mesh)(g_w, g_chunks, g_mask)
+
+    # single-process oracle on this host's default device
+    s1, cnt1 = make_stats_fn(spec, None)(
+        jnp.asarray(w), jnp.asarray(chunks), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s)), np.asarray(s1), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(cnt)), np.asarray(cnt1), rtol=0, atol=0
+    )
+    print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

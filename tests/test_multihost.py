@@ -1,0 +1,58 @@
+"""Multi-host (DCN-analog) validation: two OS processes, each with 2
+virtual CPU devices, joined via ``initialize_multihost`` into one
+4-device 'data' mesh. The cross-process psum of sufficient statistics
+must equal the single-process result — the checked-fact version of the
+docs/SCALING.md multi-host claim (reference analog: pointing
+dask.distributed at a multi-node cluster, README.md:52-59)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_psum_matches_single():
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = " ".join(
+        [
+            f
+            for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        + ["--xla_force_host_platform_device_count=2"]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)  # CPU-only: safe to kill
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (out + err)[-2000:]
+        assert "MULTIHOST_OK" in out, out
