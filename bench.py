@@ -39,7 +39,7 @@ def main():
     x = y = int(os.environ.get("XSOM_BENCH_XY", 128))
     d = int(os.environ.get("XSOM_BENCH_D", 64))
     n = int(os.environ.get("XSOM_BENCH_N", 1 << 19))
-    chunk = int(os.environ.get("XSOM_BENCH_CHUNK", 8192))
+    chunk = int(os.environ.get("XSOM_BENCH_CHUNK", 16384))
     epochs_warmup = 1
     epochs_timed = int(os.environ.get("XSOM_BENCH_EPOCHS", 5))
 

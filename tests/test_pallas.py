@@ -97,3 +97,34 @@ def test_bmu_wide_features(d):
         w.astype(np.float64) ** 2
     ).sum(1)
     np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
+
+
+def test_bmu_centering_recovers_offset_fidelity():
+    """The packed mode's dropped xl·wl split term scales with |x||w|
+    (absolute), so offset, near-tied codebooks (a trained SOM over
+    non-origin-centered features) can flip moderately-near ties.
+    Centering by the codebook mean — translation-invariant for the
+    argmin — must recover exact agreement with float64 (and is what
+    core._bmu_chunk passes)."""
+    rng = np.random.RandomState(0)
+    x = (rng.rand(3000, 8) * 4 + 10).astype(np.float32)
+    w = (rng.rand(576, 8) * 4 + 10).astype(np.float32)
+    w = 0.9 * w.mean(0) + 0.1 * w  # near-tied rows, like a smoothed codebook
+    d64 = ((x[:, None].astype(np.float64) - w[None].astype(np.float64)) ** 2).sum(-1)
+    ref = d64.argmin(1)
+    c = jnp.mean(jnp.asarray(w), axis=0)
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="packed", interpret=True, center=c
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+    # minval shifts by the (per-sample-constant) centering term but the
+    # ORDER is preserved; idx must also be invariant to who computes wsq
+    idx2, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x),
+        jnp.asarray(w),
+        jnp.sum(jnp.square(jnp.asarray(w)), axis=1, keepdims=True),
+        mode="packed",
+        interpret=True,
+        center=c,
+    )
+    np.testing.assert_array_equal(np.asarray(idx2), ref)

@@ -177,11 +177,16 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
     """Flat BMU indices for one chunk (reference xpysom.py:410-417).
     First-index tie-breaking matches NumPy/CuPy argmin. On TPU with the
     euclidean activation this is the fused Pallas kernel (distance tile
-    never leaves VMEM); otherwise distance matrix + argmin in XLA."""
+    never leaves VMEM); otherwise distance matrix + argmin in XLA.
+    The kernel is centered by the codebook mean — translation-invariant
+    for the argmin, and it shrinks the bf16-split error floor on
+    non-origin-centered data (see bmu_euclidean)."""
     if _use_pallas_bmu(dist, x.shape[-1]):
         from .ops.pallas.bmu import bmu_euclidean
 
-        idx, _ = bmu_euclidean(x, w_flat, w_sq)
+        idx, _ = bmu_euclidean(
+            x, w_flat, w_sq, center=jnp.mean(w_flat, axis=0)
+        )
         return idx
     d = dist.flat(x, w_flat, w_sq)
     return jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -190,6 +195,11 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
 def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
+
+    ``S`` and ``cnt`` ride ONE scatter of the augmented rows ``[x | 1]·m``:
+    the XLA TPU scatter-add is a serial per-update loop, so halving the
+    update count by fusing the count column into the row scatter measured
+    1.4× (15.4 → 11.0 ms at N=2^19, XY=16384, D=64).
 
     Each chunk scatters into a *fresh* per-chunk partial which is then
     added to the carry: scattering +1.0 rows directly into a large f32
@@ -200,19 +210,18 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
     d_dim = data.shape[-1]
 
     def body(carry, xs):
-        s, cnt = carry
         x, m = xs
         bmu = _bmu_chunk(dist, x, w_flat, w_sq)
-        s_c = jnp.zeros((xy, d_dim), dtype=_F32).at[bmu].add(x * m[:, None])
-        cnt_c = jnp.zeros((xy,), dtype=_F32).at[bmu].add(m)
-        return (s + s_c, cnt + cnt_c), None
+        aug = (
+            jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
+            * m[:, None]
+        )
+        part = jnp.zeros((xy, d_dim + 1), dtype=_F32).at[bmu].add(aug)
+        return carry + part, None
 
-    init = (
-        jnp.zeros((xy, d_dim), dtype=_F32),
-        jnp.zeros((xy,), dtype=_F32),
-    )
-    (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
-    return s, cnt
+    init = jnp.zeros((xy, d_dim + 1), dtype=_F32)
+    acc, _ = jax.lax.scan(body, init, (data, mask))
+    return acc[:, :d_dim], acc[:, d_dim]
 
 
 def _update_from_stats(spec: SomSpec, w_flat, s, cnt, eta, sigma):

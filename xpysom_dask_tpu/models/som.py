@@ -166,7 +166,9 @@ class XPySom:
         DistanceFunction(activation_distance, self._activation_distance_kwargs)
 
         if n_parallel == 0:
-            n_parallel = default_n_parallel(x * y)
+            n_parallel = default_n_parallel(
+                x * y, fused=(activation_distance == "euclidean")
+            )
         self._n_parallel = int(n_parallel)
 
         self._mesh_arg = mesh
@@ -463,8 +465,12 @@ class XPySom:
 
     def distance_from_weights(self, data, weights=None):
         """Full (N, X·Y) euclidean distance matrix, computed in
-        ``n_parallel``-sized chunks like the reference
-        (xpysom.py:647-671)."""
+        ``n_parallel``-sized chunks like the reference (xpysom.py:647-671).
+
+        The result lives on the host (it can dwarf HBM at large N), but
+        the inputs are uploaded once and chunk dispatches run ahead of the
+        fetches with a small in-flight window, so device compute, D2H
+        copies and host assembly overlap instead of ping-ponging."""
         data2d = np.atleast_2d(_as_numpy_2d(data))
         w_flat = jnp.asarray(
             np.asarray(self._weights, dtype=np.float32).reshape(
@@ -475,10 +481,22 @@ class XPySom:
 
         fn = jax.jit(euclidean_distance)
         n = data2d.shape[0]
+        data_d = jnp.asarray(data2d.astype(np.float32, copy=False))
         out = np.empty((n, w_flat.shape[0]), dtype=np.float32)
-        for start in range(0, n, self._n_parallel):
-            end = min(start + self._n_parallel, n)
-            out[start:end] = np.asarray(fn(jnp.asarray(data2d[start:end]), w_flat))
+        spans = [
+            (s, min(s + self._n_parallel, n))
+            for s in range(0, n, self._n_parallel)
+        ]
+        window = 4  # bounded in-flight (chunk, XY) device buffers
+        pending = []
+        for s, e in spans:
+            chunk = jax.lax.slice(data_d, (s, 0), (e, data_d.shape[1]))
+            pending.append((s, e, fn(chunk, w_flat)))
+            if len(pending) >= window:
+                ps, pe, arr = pending.pop(0)
+                out[ps:pe] = np.asarray(arr)
+        for ps, pe, arr in pending:
+            out[ps:pe] = np.asarray(arr)
         return out
 
     def quantization_error(self, data):

@@ -13,19 +13,34 @@ MXU computes ``x_tile @ w_tileᵀ``, the VPU folds it into a running
 (min, argmin) carried in VMEM scratch across codebook tiles, and only the
 ``(N, 1)`` winner indices/values leave the chip.
 
+Architecture (round 2, measurement-driven): the kernel is VMEM-bandwidth
+bound, not MXU bound — at the flagship shape (2^19×16384×64) a dot-only
+probe ran 10.3 ms while every additional full pass over the (TN, TJ)
+distance tile costs ~10 ms; the MXU FLOP floor is ~7 ms. Two consequences:
+
+- **Everything arithmetic is folded into ONE augmented GEMM.** The right
+  operand stacks bf16 splits of ``-2·wᵀ`` with an *exact* 3-term bf16
+  split of ``‖w‖²`` (8+8+8 mantissa bits = f32); the left appends
+  matching ones-columns. The MXU then emits the partial distance
+  ``d = -2 x·w + ‖w‖²`` directly and the VPU only reduces — the old
+  ``-2*cross + wsq`` elementwise passes are gone.
+- **The finish is the minimum-pass reduction**: per codebook tile one
+  min-reduce + one fused masked-iota reduce, carrying (min, argmin) in
+  (TN, 1) scratch. A 3-elementwise-pass lane-wise running-min variant
+  measured slower (29.0 vs 26.0 ms in bf16 mode).
+
 Precision: the argmin is sensitive to the TPU's bf16 matmul default (~2%
 flipped winners at fp32-data magnitudes), but full ``Precision.HIGHEST``
-costs 6 MXU passes. The kernel uses a **3-term bf16 split**
-(``x·w ≈ xh·wh + xh·wl + xl·wh`` with ``xh = bf16(x)``, ``xl = x - xh``)
-— ~f32-accurate (the dropped ``xl·wl`` term is O(2⁻²²) relative). The
-default ``packed`` mode additionally packs the two ``·wh`` terms into one
-K=2D matmul (``[xh|xl] @ [wh;wh]``), so the whole cross-term costs ~1.5
-K=D-passes: measured 2.3× over HIGHEST with zero argmin disagreements vs
-float64. Splits are computed with ``jax.lax.reduce_precision`` — the
-naive ``bf16(x - f32(bf16(x)))`` is silently elided to zero under XLA's
-``--xla_allow_excess_precision``. ``XPYSOM_BMU_PRECISION`` selects
-``packed`` (default) / ``split3`` (in-kernel splits) / ``highest``
-(exact 6-pass f32).
+costs 6 MXU passes. The default ``packed`` mode uses a **3-term bf16
+split** (``x·w ≈ xh·wh + xl·wh + xh·wl``, dropped ``xl·wl`` is O(2⁻²²)
+relative) laid out as ``[xh|xl|xh|1,1,1] @ [wh;wh;wl;‖w‖²-splits]`` —
+one K≈3D+3 GEMM; measured zero argmin disagreements vs float64.
+``bf16`` mode is the single-pass throughput option (~1.6× faster,
+~1.5–2% flipped winners; ``‖w‖²`` still exact). Splits are computed
+with ``jax.lax.reduce_precision`` — the naive ``bf16(x - f32(bf16(x)))``
+is silently elided to zero under XLA's ``--xla_allow_excess_precision``.
+``XPYSOM_BMU_PRECISION`` selects ``packed`` (default) / ``bf16`` /
+``split3`` (in-kernel splits) / ``highest`` (exact 6-pass f32).
 
 Tie-breaking matches NumPy argmin (first index wins): within a tile the
 first-minimum lane is selected via an iota trick, across tiles a strict
@@ -47,20 +62,25 @@ __all__ = ["bmu_euclidean", "supported"]
 
 _BIG_I32 = np.int32(2**31 - 1)
 
-# Tile sizes: TN samples × TJ codebook nodes per VMEM-resident distance
-# tile; (TN·TJ + temps) · 4B must fit ~16 MB VMEM with double-buffered
-# inputs. (1024, 1024) measured fastest among fitting configs on v5e for
-# narrow features; tiles shrink with D (input tiles scale with D).
+# Base tile sizes: TN samples × TJ codebook nodes per VMEM-resident
+# distance tile; see _tiles_for for the measured defaults per feature
+# width (and the (1024, 1024) pathology note).
 _TN = 1024
 _TJ = 1024
 
 
 def _tiles_for(d_dim: int):
     """Shrink the sample/lane tiles as the feature width grows so the
-    per-step VMEM footprint (inputs ~4·T·D bytes + 8·TN·TJ distance/temp
-    bytes) stays inside an ~8 MB working budget."""
+    per-step VMEM footprint (inputs ~4·T·D bytes + ~24·TN·TJ distance/
+    reduction-temp bytes) stays well inside the raised VMEM limit.
+
+    (1024, 2048) measured 46.2/29.0 ms (packed/bf16) at the flagship
+    2^19×16384×64 shape vs 127 ms for (1024, 1024), which lands in a
+    pathological Mosaic mode (60-140 s remote compile AND ~3× slower
+    code — the round-1 'bimodal compile' defect, now tied to tile
+    shape; see BASELINE.md)."""
     if d_dim <= 256:
-        return _TN, _TJ  # (1024, 1024): measured fastest on v5e
+        return _TN, 2 * _TJ  # (1024, 2048)
     if d_dim <= 512:
         return 512, 1024  # 9.4 ms at 8192x4096x512 (square tiles were 15x slower)
     if d_dim <= 1024:
@@ -72,6 +92,17 @@ def _split_bf16(a):
     """Elision-safe Dekker-style bf16 split: ``a ≈ f32(hi) + f32(lo)``."""
     hi = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
     return hi.astype(jnp.bfloat16), (a - hi).astype(jnp.bfloat16)
+
+
+def _split3_bf16(a):
+    """Exact 3-term bf16 split of f32: ``a == f32(h)+f32(m)+f32(l)`` —
+    8+8+8 mantissa bits cover f32's 24 (each residual is exactly
+    representable, standard Dekker chain via reduce_precision)."""
+    h = jax.lax.reduce_precision(a, exponent_bits=8, mantissa_bits=7)
+    r = a - h
+    m = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    l = r - m
+    return h.astype(jnp.bfloat16), m.astype(jnp.bfloat16), l.astype(jnp.bfloat16)
 
 
 def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref):
@@ -117,12 +148,17 @@ def _kernel_split3(
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
 
 
-def _kernel_packed(
-    a_ref, whwh_ref, wtl_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref
-):
-    """Inputs pre-split in XLA: ``a = [xh | xl]`` (TN, 2D) bf16,
-    ``whwh = [wh; wh]`` (2D, TJ) bf16, ``wtl`` (D, TJ) bf16. One K=2D
-    matmul covers xh·wh + xl·wh; a K=D matmul adds xh·wl."""
+def _kernel_gemm_argmin(a_ref, w_ref, idx_ref, val_ref, best_ref, bestidx_ref):
+    """One augmented GEMM per step: the distance ``d = -2 x·w + ‖w‖²``
+    comes straight off the MXU (``-2w`` and an exact 3-term bf16 split of
+    ``‖w‖²`` are folded into the right operand; the matching ones-columns
+    into the left), so the VPU does ZERO distance arithmetic — it only
+    reduces. The kernel is VMEM-bandwidth-bound on reads of the d tile
+    (measured: each full pass over d costs ~10 ms at the flagship shape,
+    vs a 10.3 ms dot-only floor), so the finish is the minimum-pass
+    form: one min-reduce + one fused masked-iota reduce per step, with a
+    (TN, 1) running (min, argmin) carry. A lane-wise running-min variant
+    (3 elementwise passes/step) measured 29.0 ms vs 26.0 ms for this."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -131,13 +167,7 @@ def _kernel_packed(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
-    a = a_ref[:]
-    d_dim = a.shape[1] // 2
-    xh = a[:, :d_dim]
-    cross = jnp.dot(
-        a, whwh_ref[:], preferred_element_type=jnp.float32
-    ) + jnp.dot(xh, wtl_ref[:], preferred_element_type=jnp.float32)
-    d = -2.0 * cross + wsq_ref[:]
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
 
 
@@ -183,20 +213,22 @@ def _mode() -> str:
     """Resolved at trace time of the enclosing jit: later env changes in
     the same process do not retrace (documented in docs/API.md)."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
-    if m in ("highest", "split3", "packed"):
+    if m in ("highest", "split3", "packed", "bf16"):
         return m
     if m:
         import warnings
 
         warnings.warn(
             f"XPYSOM_BMU_PRECISION={m!r} not recognized "
-            "(expected packed|split3|highest); using 'packed'"
+            "(expected packed|split3|highest|bf16); using 'packed'"
         )
     return "packed"
 
 
-@partial(jax.jit, static_argnames=("interpret", "mode"))
-def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
+@partial(jax.jit, static_argnames=("interpret", "mode", "tiles"))
+def bmu_euclidean(
+    x, w_flat, w_sq=None, *, interpret=False, mode=None, tiles=None, center=None
+):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
     and ``minval`` is that partial squared distance (add ``‖x‖²`` for the
@@ -204,17 +236,31 @@ def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
 
     Inputs of any (N, D)/(XY, D) shape: samples are padded to the sample
     tile, codebook nodes to the lane tile with ``+inf`` ‖w‖² so padding can
-    never win the argmin.
+    never win the argmin. ``tiles=(TN, TJ)`` overrides the measured
+    defaults (benchmark/auto-tune hook).
+
+    ``center``: optional (D,) translation subtracted from both operands.
+    ``‖x−w‖`` is translation-invariant, but the bf16-split modes' error is
+    ~2⁻¹⁷·Σ_d|x_d||2w_d| — ABSOLUTE in the operand magnitudes — so
+    centering by (roughly) the codebook mean shrinks the error floor by
+    the square of the magnitude reduction for offset data (e.g. trained
+    codebooks over non-origin-centered features). Pass the SAME center on
+    every shard when winners are compared across shards (the minval
+    output shifts by ``2x·c − ‖c‖²+…``, identically for all w).
     """
     if mode is None:
         mode = _mode()
+    if center is not None:
+        x = x - center[None, :]
+        w_flat = w_flat - center[None, :]
+        w_sq = None  # cache is for the uncentered codebook — recompute
     n, d_dim = x.shape
     xy = w_flat.shape[0]
     if w_sq is None:
         w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
     w_sq = w_sq.reshape(1, xy)
 
-    tn_max, tj_max = _tiles_for(d_dim)
+    tn_max, tj_max = tiles if tiles is not None else _tiles_for(d_dim)
     tn = min(tn_max, max(8, -(-n // 8) * 8))
     tj = min(tj_max, max(128, -(-xy // 128) * 128))
     n_pad = -(-n // tn) * tn
@@ -241,26 +287,54 @@ def bmu_euclidean(x, w_flat, w_sq=None, *, interpret=False, mode=None):
         ],
         interpret=interpret,
     )
+    if not interpret:
+        # NB: dimension_semantics=("parallel","arbitrary") was measured
+        # 3.5x SLOWER here (141 ms vs 40 ms at the flagship shape) — the
+        # default sequential schedule keeps the revisited x tile resident;
+        # do not add it back. The raised VMEM limit admits larger tiles
+        # (the argmin intermediates triple the d-tile footprint).
+        common["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     x_spec = pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
-    if mode == "packed":
-        xh, xl = _split_bf16(x_p)
-        a = jnp.concatenate([xh, xl], axis=1)  # (Np, 2D) bf16
-        wth, wtl = _split_bf16(wt)
-        whwh = jnp.concatenate([wth, wth], axis=0)  # (2D, XYp) bf16
+    if mode in ("packed", "bf16"):
+        # Augmented-GEMM formulation (see _kernel_gemm_argmin): the right
+        # operand stacks the (bf16-split) rows of -2·wᵀ with an EXACT
+        # 3-term bf16 split of ‖w‖², the left appends matching ones, so
+        # the MXU emits the partial distance directly. Codebook padding
+        # carries ‖w‖² = 1e38 (a finite +inf stand-in: ±inf splits to NaN)
+        # so padded nodes never win.
+        wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
+        s1, s2, s3 = _split3_bf16(wsq_big)
+        w2t = -2.0 * wt
+        ones = jnp.ones((n_pad, 3), jnp.bfloat16)
+        if mode == "packed":
+            xh, xl = _split_bf16(x_p)
+            wh, wl = _split_bf16(w2t)
+            a = jnp.concatenate([xh, xl, xh, ones], axis=1)
+            w_aug = jnp.concatenate([wh, wh, wl, s1, s2, s3], axis=0)
+        else:  # bf16: single-pass x·w, exact ‖w‖²
+            a = jnp.concatenate([x_p.astype(jnp.bfloat16), ones], axis=1)
+            w_aug = jnp.concatenate(
+                [w2t.astype(jnp.bfloat16), s1, s2, s3], axis=0
+            )
+        k_aug = -(-a.shape[1] // 16) * 16  # bf16 sublane-tile multiple
+        a = _pad_to(a, k_aug, 1, 0)
+        w_aug = _pad_to(w_aug, k_aug, 0, 0)
         a_spec = pl.BlockSpec(
-            (tn, 2 * d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (tn, k_aug), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         )
-        w2_spec = pl.BlockSpec(
-            (2 * d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
+        waug_spec = pl.BlockSpec(
+            (k_aug, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
         )
         idx, val = pl.pallas_call(
-            _kernel_packed,
-            in_specs=[a_spec, w2_spec, w_spec, wsq_spec],
+            _kernel_gemm_argmin,
+            in_specs=[a_spec, waug_spec],
             **common,
-        )(a, whwh, wtl, wsq_p)
+        )(a, w_aug)
     elif mode == "split3":
         # NB: the obvious `wh = bf16(wt); wl = bf16(wt - f32(wh))` is UNSAFE
         # under XLA's --xla_allow_excess_precision (set by some platforms):

@@ -87,15 +87,26 @@ def _local_rows(spec: SomSpec, n_model: int) -> int:
     return spec.xy // n_model
 
 
-def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq):
+def _global_center(spec: SomSpec, w_flat_local):
+    """Mean of the FULL codebook, replicated over 'model' — the kernel's
+    translation center must be identical on every shard so per-shard min
+    values stay comparable in the pmin merge."""
+    return jax.lax.psum(
+        jnp.sum(w_flat_local, axis=0), MODEL_AXIS
+    ) / jnp.float32(spec.xy)
+
+
+def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None):
     """Per-shard (min value, local argmin) — via the fused Pallas kernel on
-    TPU (euclidean), else the XLA distance matrix."""
+    TPU (euclidean), else the XLA distance matrix. ``center`` (replicated
+    over shards) shifts min values identically everywhere; see
+    bmu_euclidean."""
     from ..core import _use_pallas_bmu
 
     if _use_pallas_bmu(dist, x.shape[-1]):
         from ..ops.pallas.bmu import bmu_euclidean
 
-        idx, val = bmu_euclidean(x, w_local, w_sq)
+        idx, val = bmu_euclidean(x, w_local, w_sq, center=center)
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
     # jnp.argmin is first-index on ties, same as the kernel's iota trick
@@ -117,6 +128,7 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
     into this shard's row range only."""
     rows = w_local.shape[0]
     offset = jax.lax.axis_index(MODEL_AXIS) * rows
+    center = _global_center(spec, w_local)
     w_sq = (
         jnp.sum(jnp.square(w_local), axis=1, keepdims=True)
         if dist.can_cache
@@ -124,24 +136,26 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
     )
 
     def body(carry, xs):
-        s, cnt = carry
         x, m = xs
-        lmin, larg = _local_min_arg(dist, x, w_local, w_sq)
+        lmin, larg = _local_min_arg(dist, x, w_local, w_sq, center)
         bmu, _ = _global_bmu(lmin, larg, offset)
         mine = (bmu >= offset) & (bmu < offset + rows)
         local_idx = jnp.clip(bmu - offset, 0, rows - 1)
         contrib = m * mine.astype(_F32)
-        # fresh per-chunk partials: see core._accumulate_stats (f32 2^24
-        # increment-loss guard for huge-N)
-        s_c = jnp.zeros_like(s).at[local_idx].add(x * contrib[:, None])
-        cnt_c = jnp.zeros_like(cnt).at[local_idx].add(contrib)
-        return (s + s_c, cnt + cnt_c), None
+        # fused [x | 1] scatter + fresh per-chunk partials: see
+        # core._accumulate_stats (1.4× fewer serial scatter updates; f32
+        # 2^24 increment-loss guard for huge-N)
+        aug = (
+            jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
+            * contrib[:, None]
+        )
+        part = jnp.zeros_like(carry).at[local_idx].add(aug)
+        return carry + part, None
 
-    init = (
-        jnp.zeros((rows, spec.input_len), dtype=_F32),
-        jnp.zeros((rows,), dtype=_F32),
-    )
-    (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+    d_dim = spec.input_len
+    init = jnp.zeros((rows, d_dim + 1), dtype=_F32)
+    acc, _ = jax.lax.scan(body, init, (data, mask))
+    s, cnt = acc[:, :d_dim], acc[:, d_dim]
     # reduce over data shards; stays sharded over model
     s = jax.lax.psum(s, DATA_AXIS)
     cnt = jax.lax.psum(cnt, DATA_AXIS)
@@ -274,6 +288,7 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         rows = w_local.shape[0] * w_local.shape[1]
         w_flat_local = w_local.reshape(rows, spec.input_len)
         offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        center = _global_center(spec, w_flat_local)
         w_sq = (
             jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
             if dist.can_cache
@@ -281,7 +296,7 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         )
 
         def body(_, x):
-            lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq)
+            lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq, center)
             bmu, _ = _global_bmu(lmin, larg, offset)
             return None, bmu.astype(jnp.int32)
 
@@ -393,12 +408,13 @@ def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
         rows = w_local.shape[0] * w_local.shape[1]
         w_flat_local = w_local.reshape(rows, spec.input_len)
         offset = jax.lax.axis_index(MODEL_AXIS) * rows
+        center = _global_center(spec, w_flat_local)
         w_sq = jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
 
         def body(carry, xs):
             tot, n = carry
             x, m = xs
-            lmin, larg = _local_min_arg(eucl, x, w_flat_local, w_sq)
+            lmin, larg = _local_min_arg(eucl, x, w_flat_local, w_sq, center)
             bmu, _ = _global_bmu(lmin, larg, offset)
             mine = (bmu >= offset) & (bmu < offset + rows)
             local_idx = jnp.clip(bmu - offset, 0, rows - 1)

@@ -44,13 +44,23 @@ def round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def default_n_parallel(xy: int, backend: str | None = None) -> int:
+def default_n_parallel(
+    xy: int, backend: str | None = None, fused: bool = False
+) -> int:
     """Auto-size the mini-batch (samples per chunk) like the reference's
     ``n_parallel`` default (xpysom.py:242-251), but budgeted against the
     transient ``(chunk, XY)`` distance matrix instead of CUDA thread
     residency. Clamped to [256, 65536] and rounded to a multiple of 256 so
-    chunks tile the VPU/MXU cleanly."""
+    chunks tile the VPU/MXU cleanly.
+
+    ``fused=True`` (euclidean activation on TPU): the Pallas BMU kernel
+    never materializes the distance matrix in HBM, so the budget does not
+    apply — chunk 16384 measured fastest end-to-end (36.5 ms/epoch vs
+    42.4 at 8192 and 38.8 at 32768 on the 2^19×16384×64 flagship;
+    fewer scan steps amortize per-chunk scatter/dispatch)."""
     backend = backend or backend_kind()
+    if fused and backend == "tpu":
+        return 16384
     budget = _ACCEL_BUDGET if backend in ("tpu", "gpu") else _CPU_BUDGET
     chunk = budget // max(xy, 1)
     chunk = max(256, min(65536, chunk))
