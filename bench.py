@@ -41,7 +41,10 @@ def main():
     n = int(os.environ.get("XSOM_BENCH_N", 1 << 19))
     chunk = int(os.environ.get("XSOM_BENCH_CHUNK", 16384))
     epochs_warmup = 1
-    epochs_timed = int(os.environ.get("XSOM_BENCH_EPOCHS", 5))
+    # 15 timed epochs ≈ 0.55 s of device work: long enough that the one
+    # dispatch+host-sync round-trip (~5-20 ms on tunneled transports)
+    # stays <4% of the measurement.
+    epochs_timed = int(os.environ.get("XSOM_BENCH_EPOCHS", 15))
 
     spec = SomSpec(
         x=x,

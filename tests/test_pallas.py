@@ -107,8 +107,8 @@ def test_bmu_centering_recovers_offset_fidelity():
     argmin — must recover exact agreement with float64 (and is what
     core._bmu_chunk passes)."""
     rng = np.random.RandomState(0)
-    x = (rng.rand(3000, 8) * 4 + 10).astype(np.float32)
-    w = (rng.rand(576, 8) * 4 + 10).astype(np.float32)
+    x = (rng.rand(1200, 8) * 4 + 10).astype(np.float32)
+    w = (rng.rand(384, 8) * 4 + 10).astype(np.float32)
     w = 0.9 * w.mean(0) + 0.1 * w  # near-tied rows, like a smoothed codebook
     d64 = ((x[:, None].astype(np.float64) - w[None].astype(np.float64)) ** 2).sum(-1)
     ref = d64.argmin(1)
