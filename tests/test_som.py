@@ -261,3 +261,24 @@ def test_te_nonsquare_hex_raises():
     som = XPySom(8, 3, 2, topology="hexagonal", random_seed=0)
     with pytest.raises(ValueError, match="square"):
         som.topographic_error(np.random.rand(10, 2).astype(np.float32))
+
+
+def test_get_neig_functions():
+    """Reference xpysom.py:255-283: dict of prepared neighborhood
+    callables for the map's topology (hex omits 'triangle')."""
+    rect = XPySom(6, 5, 3, sigma=2.0, random_seed=1)
+    fns = rect.get_neig_functions()
+    assert set(fns) == {"gaussian", "mexican_hat", "bubble", "triangle"}
+    c = (np.array([1, 4]), np.array([2, 0]))
+    for name, f in fns.items():
+        out = np.asarray(f(c, 2.0))
+        assert out.shape == (2, 6, 5), name
+        assert np.isfinite(out).all(), name
+    # gaussian peaks at the center
+    g = np.asarray(fns["gaussian"](c, 2.0))
+    assert g[0].argmax() == 1 * 5 + 2 and g[1].argmax() == 4 * 5 + 0
+
+    hexa = XPySom(4, 4, 3, sigma=2.0, random_seed=1, topology="hexagonal")
+    assert set(hexa.get_neig_functions()) == {"gaussian", "mexican_hat", "bubble"}
+    out = np.asarray(hexa.get_neig_functions()["gaussian"]((np.array([1]), np.array([1])), 1.5))
+    assert out.shape == (1, 4, 4) and np.isfinite(out).all()

@@ -244,6 +244,47 @@ class XPySom:
 
     # -- introspection ------------------------------------------------------
 
+    def get_neig_functions(self):
+        """Dictionary of (name, prepared neighborhood callable ``f(c, σ)``)
+        for this map's topology — reference xpysom.py:255-283. Callables
+        are the batched parity-form kernels from ``ops.neighborhoods``
+        (jax arrays out); hexagonal maps omit 'triangle' like the
+        reference."""
+        from ..ops import neighborhoods as nb
+
+        neigx = jnp.asarray(self._neigx, jnp.float32)
+        neigy = jnp.asarray(self._neigy, jnp.float32)
+        if self.topology == "rectangular":
+            return {
+                "gaussian": nb.prepare_neig_func(
+                    nb.gaussian_rect, neigx, neigy, self._std_coeff,
+                    self.compact_support,
+                ),
+                "mexican_hat": nb.prepare_neig_func(
+                    nb.mexican_hat_rect, neigx, neigy, self._std_coeff,
+                    self.compact_support,
+                ),
+                "bubble": nb.prepare_neig_func(nb.bubble, neigx, neigy),
+                "triangle": nb.prepare_neig_func(
+                    nb.triangle, neigx, neigy, self.compact_support
+                ),
+            }
+        if self.topology == "hexagonal":
+            xx = jnp.asarray(self._xx, jnp.float32)
+            yy = jnp.asarray(self._yy, jnp.float32)
+            return {
+                "gaussian": nb.prepare_neig_func(
+                    nb.gaussian_generic, xx, yy, self._std_coeff,
+                    self.compact_support,
+                ),
+                "mexican_hat": nb.prepare_neig_func(
+                    nb.mexican_hat_generic, xx, yy, self._std_coeff,
+                    self.compact_support,
+                ),
+                "bubble": nb.prepare_neig_func(nb.bubble, neigx, neigy),
+            }
+        return {}
+
     def get_weights(self):
         """Returns the weights of the neural network."""
         return self._weights
