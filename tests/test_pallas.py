@@ -71,7 +71,7 @@ def test_supported_gating_off_tpu():
     assert not pl_manhattan.supported(x, x)
 
 
-@pytest.mark.parametrize("mode", ["packed", "split3", "highest"])
+@pytest.mark.parametrize("mode", ["packed", "split3", "highest", "bf16"])
 def test_bmu_modes_agree(mode):
     rng = np.random.RandomState(5)
     x = rng.rand(200, 24).astype(np.float32)
@@ -82,8 +82,13 @@ def test_bmu_modes_agree(mode):
     dref = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
         w.astype(np.float64) ** 2
     ).sum(1)
-    np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
-    np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-4, atol=1e-4)
+    if mode == "bf16":
+        # documented throughput mode: ~1.5-2% near-tie flips, ~2^-8 values
+        assert (np.asarray(idx) == dref.argmin(1)).mean() >= 0.95
+        np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=2e-2, atol=2e-2)
+    else:
+        np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
+        np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("d", [256, 512, 1024, 2048])
