@@ -78,14 +78,17 @@ def _tiles_for(d_dim: int):
     2^19×16384×64 shape vs 127 ms for (1024, 1024), which lands in a
     pathological Mosaic mode (60-140 s remote compile AND ~3× slower
     code — the round-1 'bimodal compile' defect, now tied to tile
-    shape; see BASELINE.md)."""
-    if d_dim <= 256:
-        return _TN, 2 * _TJ  # (1024, 2048)
+    shape; see BASELINE.md).
+
+    Wide-D re-tune with the augmented-GEMM kernel (65536×4096×512 /
+    32768×4096×1024 / 16384×2048×2048): (1024,2048) 11.9 ms vs the old
+    (512,1024)'s 14.1 at D=512; (512,2048) 12.3 vs 12.5 at D=1024;
+    (512,1024) 10.1 vs 10.7 at D=2048."""
     if d_dim <= 512:
-        return 512, 1024  # 9.4 ms at 8192x4096x512 (square tiles were 15x slower)
+        return _TN, 2 * _TJ  # (1024, 2048)
     if d_dim <= 1024:
-        return 256, 512
-    return 128, 256
+        return 512, 2048
+    return 512, 1024
 
 
 def _split_bf16(a):
