@@ -1,0 +1,153 @@
+"""On-hardware checks: the BASELINE.md fidelity/parity claims as tests.
+
+These run the REAL Mosaic kernels (no interpret=True) against the
+attached TPU and cross-check them with float64 host oracles and the
+vendored golden model (reference algorithm semantics,
+/root/reference/xpysom_dask/xpysom.py:515-577 — reimplemented in
+models/golden.py). Skipped automatically off-TPU (see conftest.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xpysom_dask_tpu import XPySom
+from xpysom_dask_tpu.models.golden import GoldenSom
+from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+from xpysom_dask_tpu.ops.pallas import manhattan as pl_manhattan
+
+
+def _rand_problem(n=16384, xy=4096, d=64, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.rand(n, d).astype(np.float32)
+    w = rng.rand(xy, d).astype(np.float32)
+    return x, w
+
+
+def _argmin64(x, w):
+    d = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    return d.argmin(1)
+
+
+def test_packed_mode_exact_on_random_codebook():
+    """The default packed split: zero argmin disagreements vs float64 at
+    fp32-data magnitudes (the BASELINE.md round-1/2 claim)."""
+    x, w = _rand_problem()
+    ref = _argmin64(x, w)
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="packed")
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_highest_mode_exact():
+    x, w = _rand_problem(seed=1)
+    ref = _argmin64(x, w)
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="highest")
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_centering_recovers_offset_fidelity_on_chip():
+    """Offset features + smoothed (near-tied) codebook — the adversarial
+    regime where the packed split's absolute error term bites. With
+    codebook-mean centering (what core._bmu_chunk passes) the flip rate
+    vs float64 must stay within the documented ~2/10^4."""
+    rng = np.random.RandomState(0)
+    x = (rng.rand(16384, 64) * 4 + 8).astype(np.float32)
+    w = (rng.rand(4096, 64) * 4 + 8).astype(np.float32)
+    w = 0.9 * w.mean(0) + 0.1 * w
+    d64 = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    ref = d64.argmin(1)
+    c = jnp.mean(jnp.asarray(w), axis=0)
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="packed", center=c
+    )
+    flips = float(np.mean(np.asarray(idx) != ref))
+    assert flips <= 2e-3, f"flip rate {flips} vs float64 with centering"
+
+
+def test_bf16_mode_flip_rate_bounded():
+    """The opt-in throughput mode trades ~1.5-2% near-tie winner flips;
+    bound it at <5% and require the resulting QE stays within 1e-4
+    relative (flipped winners are near-ties by construction)."""
+    x, w = _rand_problem(seed=2)
+    ref = _argmin64(x, w)
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="bf16")
+    idx = np.asarray(idx)
+    flips = float(np.mean(idx != ref))
+    assert flips < 0.05, f"bf16 flip rate {flips}"
+    x64, w64 = x.astype(np.float64), w.astype(np.float64)
+    qe_ref = np.mean(np.linalg.norm(x64 - w64[ref], axis=1))
+    qe = np.mean(np.linalg.norm(x64 - w64[idx], axis=1))
+    assert abs(qe - qe_ref) / qe_ref < 1e-4
+
+
+def test_manhattan_kernel_matches_numpy_on_chip():
+    rng = np.random.RandomState(3)
+    x = rng.rand(2048, 48).astype(np.float32)
+    w = rng.rand(1024, 48).astype(np.float32)
+    got = np.asarray(pl_manhattan.manhattan_distance(jnp.asarray(x), jnp.asarray(w)))
+    ref = np.abs(x[:, None] - w[None]).sum(-1)
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-5)
+
+
+def test_train_parity_vs_golden_on_chip():
+    """End-to-end: same init, same schedule, 5 epochs on clustered-free
+    uniform data (no BMU near-tie chaos); QE must track the float64
+    golden model within 1e-4 relative and epoch-0 weights within 1e-4
+    (f32 on-chip accumulation vs the float64 oracle)."""
+    rng = np.random.RandomState(7)
+    data = rng.rand(4096, 16).astype(np.float32)
+
+    golden = GoldenSom(12, 12, 16, sigma=3.0, random_seed=11)
+    som = XPySom(12, 12, 16, sigma=3.0, random_seed=11)
+    np.testing.assert_allclose(som._weights, golden.weights, rtol=1e-6)
+
+    g1 = GoldenSom(12, 12, 16, sigma=3.0, random_seed=11)
+    g1.train(data, 5, iter_beg=0, iter_end=1)
+    s1 = XPySom(12, 12, 16, sigma=3.0, random_seed=11)
+    s1.train(data, 5, iter_beg=0, iter_end=1)
+    np.testing.assert_allclose(s1._weights, g1.weights, rtol=1e-4, atol=1e-5)
+
+    golden.train(data, 5)
+    som.train(data, 5)
+    qe_g = golden.quantization_error(data)
+    qe_s = som.quantization_error(data)
+    # multi-epoch BMU near-tie drift between f32-chip and float64 oracle
+    # compounds (~1e-4 at this config; see BASELINE.md) — bound it at 5e-4
+    assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
+
+
+def test_public_api_drive_on_chip():
+    """One pass over the public analysis surface on the real backend."""
+    rng = np.random.RandomState(5)
+    data = rng.rand(600, 8).astype(np.float32)
+    labels = (data[:, 0] > 0.5).astype(int)
+
+    som = XPySom(9, 7, 8, sigma=2.5, random_seed=3)
+    som.pca_weights_init(data)
+    som.train(data, 8)
+
+    win = som.winner(data[:10])
+    assert len(win) == 10 and all(0 <= i < 9 and 0 <= j < 7 for i, j in win)
+    qe = som.quantization_error(data)
+    te = som.topographic_error(data)
+    assert 0 <= qe < 1.0 and 0 <= te <= 1.0
+    um = som.distance_map()
+    assert um.shape == (9, 7) and float(um.max()) == pytest.approx(1.0)
+    ar = som.activation_response(data)
+    assert ar.shape == (9, 7) and int(ar.sum()) == len(data)
+    wm = som.win_map(data)
+    assert sum(len(v) for v in wm.values()) == len(data)
+    lm = som.labels_map(data, labels)
+    assert sum(sum(c.values()) for c in lm.values()) == len(data)
+    d = som.distance_from_weights(data[:64])
+    assert d.shape == (64, 63)
+    # euclidean consistency: winner == argmin of the full distance matrix
+    flat = np.asarray(d).argmin(1)
+    w10 = [divmod(int(f), 7) for f in flat[:10]]
+    assert w10 == [tuple(map(int, ij)) for ij in win]
