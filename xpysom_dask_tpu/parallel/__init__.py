@@ -3,7 +3,13 @@ TPU-native replacement of the reference's inline Dask branches
 (xpysom.py:545-558)."""
 
 from .grid_sharded import codebook_sharding, is_grid_mesh, make_grid_mesh
-from .mesh import data_sharding, make_data_mesh, replicated_sharding, resolve_mesh
+from .mesh import (
+    data_sharding,
+    initialize_multihost,
+    make_data_mesh,
+    replicated_sharding,
+    resolve_mesh,
+)
 from .pipeline import (
     ArraySource,
     FileSource,
@@ -13,6 +19,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "initialize_multihost",
     "make_data_mesh",
     "make_grid_mesh",
     "is_grid_mesh",
