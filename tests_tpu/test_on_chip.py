@@ -122,6 +122,20 @@ def test_train_parity_vs_golden_on_chip():
     assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
 
 
+def test_autotune_on_chip():
+    """The tile autotuner must compile+time real Mosaic candidates and
+    return one of them (ordering is rig-dependent; the flagship-shape
+    measurement lives in BASELINE.md)."""
+    from xpysom_dask_tpu.ops.pallas.autotune import autotune_bmu_tiles
+
+    cands = [(512, 1024), (1024, 2048)]
+    res = autotune_bmu_tiles(
+        n=4096, xy=4096, d=64, candidates=cands, reps=2
+    )
+    assert res.tiles in [tuple(c) for c in cands]
+    assert all(np.isfinite(v) and v > 0 for v in res.timings_ms.values())
+
+
 def test_public_api_drive_on_chip():
     """One pass over the public analysis surface on the real backend."""
     rng = np.random.RandomState(5)

@@ -1,0 +1,125 @@
+"""On-device tile autotuning for the fused BMU kernel.
+
+``_tiles_for`` in ``bmu.py`` ships measured defaults for the shapes in
+BASELINE.md, but the best (TN, TJ) distance-tile shape drifts with the
+feature width, the codebook size and the TPU generation. This utility
+measures the candidates ON THE ATTACHED DEVICE at the caller's problem
+shape and returns the fastest, so deployments off the measured envelope
+can pin their own tiles instead of trusting a table tuned on a v5e:
+
+    from xpysom_dask_tpu.ops.pallas.autotune import autotune_bmu_tiles
+    res = autotune_bmu_tiles(n=16384, xy=65536, d=256, apply=True)
+    # apply=True exports XPYSOM_BMU_TILES="TNxTJ" for subsequent traces
+
+Timing is synchronized by fetching a scalar to the host (tunnel-safe; see
+CLAUDE.md — ``block_until_ready`` is advisory over a relay) and takes the
+median of ``reps`` runs after a compile/warmup call. Candidates that fail
+to compile (e.g. VMEM overflow at wide D) are skipped and recorded with
+``float('inf')``.
+
+NB the same trace-time trap as ``XPYSOM_BMU_PRECISION`` (docs/API.md):
+``apply=True`` only affects jits traced AFTER the call. And pick ``n``
+large enough that kernel time dominates per-call dispatch (~30 ms on a
+tunneled dev rig, ~10 us on a real TPU host) — candidates within noise of
+each other are interchangeable anyway; the tuner's job is to dodge the
+pathological ones (3x+ spreads, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bmu import bmu_euclidean, supported
+
+__all__ = ["TuneResult", "autotune_bmu_tiles", "DEFAULT_CANDIDATES"]
+
+# (TN, TJ) sample/lane tile candidates. (1024, 1024) is intentionally
+# absent: it lands in a pathological Mosaic mode (~3x slower + 60-140 s
+# remote compiles, see BASELINE.md "tile-shape pathology").
+DEFAULT_CANDIDATES = (
+    (512, 1024),
+    (512, 2048),
+    (1024, 2048),
+    (2048, 1024),
+    (1024, 4096),
+    (2048, 2048),
+)
+
+
+class TuneResult(NamedTuple):
+    tiles: tuple  # best (TN, TJ)
+    timings_ms: dict  # {(TN, TJ): median ms, inf = failed to compile/run}
+
+
+def _time_once(x, w, mode, tiles, reps, interpret):
+    # compile + warmup (first Mosaic compile can take seconds remotely)
+    idx, val = bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
+    float(jnp.sum(val))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        idx, val = bmu_euclidean(
+            x, w, mode=mode, tiles=tiles, interpret=interpret
+        )
+        float(jnp.sum(val))  # host fetch = device sync
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def autotune_bmu_tiles(
+    n=16384,
+    xy=16384,
+    d=64,
+    mode=None,
+    candidates=None,
+    reps=3,
+    seed=0,
+    apply=False,
+    verbose=False,
+    interpret=None,
+):
+    """Measure ``candidates`` at shape (n, xy, d) on the current backend
+    and return a :class:`TuneResult` with the fastest tiles.
+
+    ``apply=True`` additionally sets ``XPYSOM_BMU_TILES`` so later-traced
+    kernels (including XPySom training) pick the winner up.
+    ``interpret`` defaults to auto: the Mosaic kernel on TPU, the Pallas
+    interpreter elsewhere (mechanics only — off-TPU timings are not
+    meaningful tile comparisons)."""
+    candidates = tuple(candidates) if candidates else DEFAULT_CANDIDATES
+    if interpret is None:
+        interpret = not supported()
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(n, d).astype(np.float32))
+    w = jnp.asarray(rng.rand(xy, d).astype(np.float32))
+
+    timings = {}
+    for cand in candidates:
+        tn, tj = int(cand[0]), int(cand[1])
+        if tn % 8 or tj % 128:
+            raise ValueError(
+                f"candidate {cand}: TN must be a multiple of 8, TJ of 128"
+            )
+        try:
+            ms = _time_once(x, w, mode, (tn, tj), reps, interpret)
+        except Exception as e:  # VMEM overflow / Mosaic reject: skip
+            if verbose:
+                print(f"  tiles {cand}: failed ({type(e).__name__})")
+            timings[(tn, tj)] = float("inf")
+            continue
+        timings[(tn, tj)] = ms
+        if verbose:
+            print(f"  tiles {cand}: {ms:.2f} ms")
+    best = min(timings, key=timings.get)
+    if not np.isfinite(timings[best]):
+        raise RuntimeError(
+            f"no tile candidate compiled at shape ({n}, {xy}, {d})"
+        )
+    if apply:
+        os.environ["XPYSOM_BMU_TILES"] = f"{best[0]}x{best[1]}"
+    return TuneResult(best, timings)

@@ -228,6 +228,28 @@ def _mode() -> str:
     return "packed"
 
 
+def _env_tiles():
+    """Optional ``XPYSOM_BMU_TILES=TNxTJ`` override (e.g. from
+    ops.pallas.autotune's ``apply=True``). Read at trace time, same
+    process-cache trap as ``XPYSOM_BMU_PRECISION`` (docs/API.md)."""
+    s = os.environ.get("XPYSOM_BMU_TILES", "")
+    if not s:
+        return None
+    try:
+        tn, tj = (int(v) for v in s.lower().split("x"))
+        if tn <= 0 or tj <= 0 or tn % 8 or tj % 128:
+            raise ValueError
+        return tn, tj
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"XPYSOM_BMU_TILES={s!r} invalid (expected e.g. '1024x2048', "
+            "TN a multiple of 8, TJ of 128); using measured defaults"
+        )
+        return None
+
+
 @partial(jax.jit, static_argnames=("interpret", "mode", "tiles"))
 def bmu_euclidean(
     x, w_flat, w_sq=None, *, interpret=False, mode=None, tiles=None, center=None
@@ -263,6 +285,8 @@ def bmu_euclidean(
         w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
     w_sq = w_sq.reshape(1, xy)
 
+    if tiles is None:
+        tiles = _env_tiles()
     tn_max, tj_max = tiles if tiles is not None else _tiles_for(d_dim)
     tn = min(tn_max, max(8, -(-n // 8) * 8))
     tj = min(tj_max, max(128, -(-xy // 128) * 128))
