@@ -52,6 +52,8 @@ def test_autotune_selects_and_applies(monkeypatch):
     assert res.tiles in [tuple(c) for c in cands]
     assert set(res.timings_ms) == {tuple(c) for c in cands}
     assert all(t > 0 for t in res.timings_ms.values())
+    assert set(res.first_call_s) == {tuple(c) for c in cands}
+    assert all(t >= 0 for t in res.first_call_s.values())
     tn, tj = res.tiles
     assert os.environ["XPYSOM_BMU_TILES"] == f"{tn}x{tj}"
 

@@ -128,9 +128,10 @@ def test_autotune_on_chip():
     measurement lives in BASELINE.md)."""
     from xpysom_dask_tpu.ops.pallas.autotune import autotune_bmu_tiles
 
-    # Stay at the flagship shape family: its candidates are measured
-    # fast-compilers. A first cut at (4096, 4096, 64) hit a pathological
-    # remote-compile mode and took 13 min for two candidates.
+    # Keep the sweep small: first calls on this rig can take minutes
+    # under relay load (a first cut at (4096, 4096, 64) took 13 min for
+    # two candidates — later isolated to relay program-load latency, not
+    # compilation; see BASELINE.md round-2 addendum).
     cands = [(1024, 2048), (2048, 1024)]
     res = autotune_bmu_tiles(
         n=16384, xy=16384, d=64, candidates=cands, reps=2

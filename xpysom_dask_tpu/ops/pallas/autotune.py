@@ -39,8 +39,8 @@ from .bmu import bmu_euclidean, supported
 __all__ = ["TuneResult", "autotune_bmu_tiles", "DEFAULT_CANDIDATES"]
 
 # (TN, TJ) sample/lane tile candidates. (1024, 1024) is intentionally
-# absent: it lands in a pathological Mosaic mode (~3x slower + 60-140 s
-# remote compiles, see BASELINE.md "tile-shape pathology").
+# absent: it lands in a Mosaic mode with ~3x slower steady-state runtime
+# (see BASELINE.md "tile-shape pathology").
 DEFAULT_CANDIDATES = (
     (512, 1024),
     (512, 2048),
@@ -54,12 +54,20 @@ DEFAULT_CANDIDATES = (
 class TuneResult(NamedTuple):
     tiles: tuple  # best (TN, TJ)
     timings_ms: dict  # {(TN, TJ): median ms, inf = failed to compile/run}
+    first_call_s: dict  # {(TN, TJ): first-call (compile+load+warmup) s}
 
 
 def _time_once(x, w, mode, tiles, reps, interpret):
-    # compile + warmup (first Mosaic compile can take seconds remotely)
+    # First call timed separately from steady state. NB on a relayed dev
+    # rig the first call is dominated by tunnel/program-load latency and
+    # can be minutes under load (BASELINE.md round-2 addendum: actual
+    # XLA/Mosaic compile measured ~1 s even when the first call took
+    # 57-703 s) — an anomalous first_call_s flags relay load, while
+    # timings_ms (steady state) is what selects the tile.
+    t0 = time.perf_counter()
     idx, val = bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
     float(jnp.sum(val))
+    first_call_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -68,7 +76,7 @@ def _time_once(x, w, mode, tiles, reps, interpret):
         )
         float(jnp.sum(val))  # host fetch = device sync
         times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(times))
+    return float(np.median(times)), float(first_call_s)
 
 
 def autotune_bmu_tiles(
@@ -99,6 +107,7 @@ def autotune_bmu_tiles(
     w = jnp.asarray(rng.rand(xy, d).astype(np.float32))
 
     timings = {}
+    first_calls = {}
     for cand in candidates:
         tn, tj = int(cand[0]), int(cand[1])
         if tn % 8 or tj % 128:
@@ -106,15 +115,17 @@ def autotune_bmu_tiles(
                 f"candidate {cand}: TN must be a multiple of 8, TJ of 128"
             )
         try:
-            ms = _time_once(x, w, mode, (tn, tj), reps, interpret)
+            ms, first_s = _time_once(x, w, mode, (tn, tj), reps, interpret)
         except Exception as e:  # VMEM overflow / Mosaic reject: skip
             if verbose:
                 print(f"  tiles {cand}: failed ({type(e).__name__})")
             timings[(tn, tj)] = float("inf")
+            first_calls[(tn, tj)] = float("inf")
             continue
         timings[(tn, tj)] = ms
+        first_calls[(tn, tj)] = first_s
         if verbose:
-            print(f"  tiles {cand}: {ms:.2f} ms")
+            print(f"  tiles {cand}: {ms:.2f} ms (first call {first_s:.1f} s)")
     best = min(timings, key=timings.get)
     if not np.isfinite(timings[best]):
         raise RuntimeError(
@@ -122,4 +133,4 @@ def autotune_bmu_tiles(
         )
     if apply:
         os.environ["XPYSOM_BMU_TILES"] = f"{best[0]}x{best[1]}"
-    return TuneResult(best, timings)
+    return TuneResult(best, timings, first_calls)

@@ -76,9 +76,11 @@ def _tiles_for(d_dim: int):
 
     (1024, 2048) measured 46.2/29.0 ms (packed/bf16) at the flagship
     2^19×16384×64 shape vs 127 ms for (1024, 1024), which lands in a
-    pathological Mosaic mode (60-140 s remote compile AND ~3× slower
-    code — the round-1 'bimodal compile' defect, now tied to tile
-    shape; see BASELINE.md).
+    Mosaic mode with ~3× slower steady-state runtime (shape-deterministic,
+    reproduced across processes). NB the minute-scale *first-call* delays
+    once attributed to these tiles turned out to be relay program-load
+    latency on the dev rig, not compilation — see the round-2 addendum in
+    BASELINE.md (actual XLA/Mosaic compile ≈ 1 s).
 
     Wide-D re-tune with the augmented-GEMM kernel (65536×4096×512 /
     32768×4096×1024 / 16384×2048×2048): (1024,2048) 11.9 ms vs the old
