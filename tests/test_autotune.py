@@ -29,21 +29,55 @@ def test_env_tiles_invalid_warns_and_ignores(monkeypatch, bad):
 
 
 def test_env_tiles_used_by_kernel(monkeypatch):
+    """The env override must actually reach tile selection — assert via
+    the default-table path: when XPYSOM_BMU_TILES is set, _tiles_for must
+    never be consulted (and the kernel result is unchanged, since tiling
+    cannot affect the argmin). jit caches traces, so each variant uses a
+    distinct shape to force a fresh trace."""
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(64, 8).astype(np.float32))
+
+    def run(n, setenv):
+        x = jnp.asarray(rng.rand(n, 8).astype(np.float32))
+        w = jnp.asarray(rng.rand(96, 8).astype(np.float32))
+        if setenv:
+            monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+
+            def boom(d):
+                raise AssertionError("_tiles_for consulted despite env tiles")
+
+            monkeypatch.setattr(pl_bmu, "_tiles_for", boom)
+        idx, _ = pl_bmu.bmu_euclidean(x, w, interpret=True)
+        monkeypatch.undo()
+        d64 = -2 * np.asarray(x, np.float64) @ np.asarray(w, np.float64).T + (
+            np.asarray(w, np.float64) ** 2
+        ).sum(1)
+        np.testing.assert_array_equal(np.asarray(idx), d64.argmin(1))
+
+    run(56, setenv=False)
+    run(64, setenv=True)  # fresh shape -> fresh trace under the env hook
+    # explicit tiles= wins over the env var (fresh shape again)
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "banana")  # would warn if read
+
+    def boom(d):
+        raise AssertionError("_tiles_for consulted despite explicit tiles")
+
+    monkeypatch.setattr(pl_bmu, "_tiles_for", boom)
+    x = jnp.asarray(rng.rand(72, 8).astype(np.float32))
     w = jnp.asarray(rng.rand(96, 8).astype(np.float32))
-    idx_def, val_def = pl_bmu.bmu_euclidean(x, w, interpret=True)
-    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
-    idx_env, val_env = pl_bmu.bmu_euclidean(x, w, interpret=True)
-    np.testing.assert_array_equal(np.asarray(idx_def), np.asarray(idx_env))
-    np.testing.assert_allclose(np.asarray(val_def), np.asarray(val_env), rtol=1e-6)
-    # explicit tiles= still beats the env var
-    idx_exp, _ = pl_bmu.bmu_euclidean(x, w, interpret=True, tiles=(16, 128))
-    np.testing.assert_array_equal(np.asarray(idx_def), np.asarray(idx_exp))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # env parse warning must NOT fire
+        idx, _ = pl_bmu.bmu_euclidean(x, w, interpret=True, tiles=(16, 128))
+    assert idx.shape == (72,)
 
 
 def test_autotune_selects_and_applies(monkeypatch):
-    monkeypatch.delenv("XPYSOM_BMU_TILES", raising=False)
+    # register the var with monkeypatch FIRST so apply=True's direct
+    # os.environ write is rolled back at teardown (delenv of an absent
+    # var registers nothing and would leak the setting into later tests)
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "")
+    monkeypatch.delenv("XPYSOM_BMU_TILES")
     cands = [(8, 128), (16, 128)]
     res = autotune_bmu_tiles(
         n=64, xy=256, d=8, candidates=cands, reps=1, apply=True

@@ -23,6 +23,8 @@ What changed underneath:
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from collections import Counter, defaultdict
 from warnings import warn
 
@@ -165,10 +167,18 @@ class XPySom:
         self._activation_distance_kwargs = dict(activation_distance_kwargs)
         DistanceFunction(activation_distance, self._activation_distance_kwargs)
 
+        # The fused-kernel chunk default (16384) is only safe on paths
+        # that never materialize the (chunk, XY) distance matrix — mirror
+        # core._use_pallas_bmu's static gates here so e.g. wide-feature or
+        # XPYSOM_TPU_NO_PALLAS configs keep the budgeted default.
+        self._n_parallel_explicit = n_parallel != 0
         if n_parallel == 0:
-            n_parallel = default_n_parallel(
-                x * y, fused=(activation_distance == "euclidean")
+            fused = (
+                activation_distance == "euclidean"
+                and input_len <= core._PALLAS_MAX_D
+                and not os.environ.get("XPYSOM_TPU_NO_PALLAS")
             )
+            n_parallel = default_n_parallel(x * y, fused=fused)
         self._n_parallel = int(n_parallel)
 
         self._mesh_arg = mesh
@@ -207,7 +217,22 @@ class XPySom:
             return int(self._mesh.shape["data"])
         return self._mesh.devices.size
 
-    def _chunked(self, data2d: np.ndarray):
+    @property
+    def _matrix_chunk(self) -> int:
+        """Chunk size for paths that MATERIALIZE the (chunk, XY) distance
+        matrix (topographic top-2, distance_from_weights, the XLA BMU
+        fallback): the fused-kernel default (16384) would transiently
+        allocate chunk·XY·4 bytes — 17 GB at XY=512² — so auto-sized SOMs
+        fall back to the element-budgeted default here. An explicit user
+        ``n_parallel`` is honored everywhere (it IS the reference's memory
+        bound, xpysom.py:131-137)."""
+        if self._n_parallel_explicit:
+            return self._n_parallel
+        return min(
+            self._n_parallel, default_n_parallel(self._x * self._y, fused=False)
+        )
+
+    def _chunked(self, data2d: np.ndarray, chunk: int = None):
         """Pad + chunk host data and place it on device(s).
 
         Chunk sizes are aligned to the fused kernel's sample tile (1024)
@@ -217,7 +242,7 @@ class XPySom:
         user-specified ``n_parallel`` (a memory budget, reference
         xpysom.py:131-137) is never exceeded."""
         n = data2d.shape[0]
-        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        chunk = min(chunk or self._n_parallel, round_up(max(n, 1), 8))
         if chunk > 1024:
             chunk = max(1024, (chunk // 1024) * 1024)
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=self._n_shards())
@@ -411,9 +436,18 @@ class XPySom:
                 # End-of-training QE print, matching the resident path and
                 # the reference (xpysom.py:591-592). Full-source QE would
                 # re-stream everything, so evaluate on the first
-                # superbatch (bounded, deterministic sample).
-                sample = next(source.superbatches(min(n_src, 65536)))
-                print("\n quantization error:", self.quantization_error(sample))
+                # superbatch (bounded, deterministic sample). Empty or
+                # exhausted one-shot sources just skip the print — the
+                # training itself already completed.
+                try:
+                    sample = next(source.superbatches(min(n_src, 65536)))
+                except (StopIteration, ValueError):
+                    sample = None
+                if sample is not None and len(sample):
+                    print(
+                        "\n quantization error:",
+                        self.quantization_error(sample),
+                    )
             return self
 
         data2d = _as_numpy_2d(data)
@@ -491,7 +525,6 @@ class XPySom:
         """Code book vector of the winning neuron for each sample
         (reference xpysom.py:620-645). BMU by euclidean distance regardless
         of the activation distance, matching the reference."""
-        import dataclasses
 
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
@@ -505,34 +538,34 @@ class XPySom:
         return self._weights.reshape(-1, self._input_len)[bmu]
 
     def distance_from_weights(self, data, weights=None):
-        """Full (N, X·Y) euclidean distance matrix, computed in
-        ``n_parallel``-sized chunks like the reference (xpysom.py:647-671).
+        """Full (N, X·Y) euclidean distance matrix against ``weights``
+        (default: this SOM's codebook), computed in budgeted chunks like
+        the reference (xpysom.py:647-671).
 
-        The result lives on the host (it can dwarf HBM at large N), but
-        the inputs are uploaded once and chunk dispatches run ahead of the
-        fetches with a small in-flight window, so device compute, D2H
-        copies and host assembly overlap instead of ping-ponging."""
+        The result lives on the host (it can dwarf HBM at large N):
+        chunks are uploaded one at a time and dispatches run ahead of the
+        fetches with a small in-flight window, so device compute, H2D/D2H
+        copies and host assembly overlap instead of ping-ponging. Device
+        memory in flight stays bounded by window · chunk · XY floats."""
         data2d = np.atleast_2d(_as_numpy_2d(data))
-        w_flat = jnp.asarray(
-            np.asarray(self._weights, dtype=np.float32).reshape(
-                -1, self._input_len
-            )
-        )
+        w_host = np.asarray(
+            self._weights if weights is None else weights, dtype=np.float32
+        ).reshape(-1, self._input_len)
+        w_flat = jnp.asarray(w_host)
         from ..ops.distances import euclidean_distance
 
         fn = jax.jit(euclidean_distance)
         n = data2d.shape[0]
-        data_d = jnp.asarray(data2d.astype(np.float32, copy=False))
-        out = np.empty((n, w_flat.shape[0]), dtype=np.float32)
-        spans = [
-            (s, min(s + self._n_parallel, n))
-            for s in range(0, n, self._n_parallel)
-        ]
-        window = 4  # bounded in-flight (chunk, XY) device buffers
+        xy = w_flat.shape[0]
+        data_np = data2d.astype(np.float32, copy=False)
+        out = np.empty((n, xy), dtype=np.float32)
+        step = self._matrix_chunk
+        spans = [(s, min(s + step, n)) for s in range(0, n, step)]
+        # bound in-flight device results to ~256 MB regardless of shape
+        window = max(1, min(4, (1 << 26) // max(step * xy, 1)))
         pending = []
         for s, e in spans:
-            chunk = jax.lax.slice(data_d, (s, 0), (e, data_d.shape[1]))
-            pending.append((s, e, fn(chunk, w_flat)))
+            pending.append((s, e, fn(jnp.asarray(data_np[s:e]), w_flat)))
             if len(pending) >= window:
                 ps, pe, arr = pending.pop(0)
                 out[ps:pe] = np.asarray(arr)
@@ -567,13 +600,34 @@ class XPySom:
         if self._x * self._y == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
             return np.nan
-        chunks, mask, _ = self._chunked(data2d)
+        # top-2 selection materializes (chunk, XY/shards) distances —
+        # budget the chunk independently of the fused training default
+        chunks, mask, _ = self._chunked(data2d, chunk=self._matrix_chunk)
         if self._is_grid_mesh():
-            from ..parallel.grid_sharded import make_topographic_stats_fn_2d
+            from ..parallel.grid_sharded import (
+                MODEL_AXIS,
+                make_topographic_stats_fn_2d,
+            )
 
-            fn = make_topographic_stats_fn_2d(self._spec, self._mesh)
-        else:
-            fn = core.make_topographic_stats_fn(self._spec, self._mesh)
+            n_model = int(self._mesh.shape[MODEL_AXIS])
+            if (self._x * self._y) // n_model >= 2:
+                fn = make_topographic_stats_fn_2d(self._spec, self._mesh)
+                errs, n = fn(self._device_weights(), chunks, mask)
+                return float(errs) / float(n)
+            # tiny maps leave <2 codebook rows per model shard — the
+            # sharded top-2 merge is undefined there; compute replicated
+            # on one device from the host codebook instead of crashing
+            h_chunks, h_mask, _ = core.chunk_data(
+                data2d.astype(np.float32, copy=False), self._matrix_chunk
+            )
+            fn = core.make_topographic_stats_fn(self._spec, mesh=None)
+            errs, n = fn(
+                jnp.asarray(np.asarray(self._weights, dtype=np.float32)),
+                jnp.asarray(h_chunks),
+                jnp.asarray(h_mask),
+            )
+            return float(errs) / float(n)
+        fn = core.make_topographic_stats_fn(self._spec, self._mesh)
         errs, n = fn(self._device_weights(), chunks, mask)
         return float(errs) / float(n)
 

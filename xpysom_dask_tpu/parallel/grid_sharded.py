@@ -96,6 +96,25 @@ def _global_center(spec: SomSpec, w_flat_local):
     ) / jnp.float32(spec.xy)
 
 
+def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
+    """(center, w_sq) for the per-shard BMU search, computing only what
+    the selected path consumes: the fused kernel re-derives ‖w‖² from the
+    centered codebook (a caller-side w_sq would be discarded) and only it
+    uses ``center``, while the XLA path wants the plain w_sq cache and no
+    center (and the center's psum collective must not run at all for
+    distances that never use it)."""
+    from ..core import _use_pallas_bmu
+
+    if _use_pallas_bmu(dist, spec.input_len):
+        return _global_center(spec, w_flat_local), None
+    w_sq = (
+        jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
+        if dist.can_cache
+        else None
+    )
+    return None, w_sq
+
+
 def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None):
     """Per-shard (min value, local argmin) — via the fused Pallas kernel on
     TPU (euclidean), else the XLA distance matrix. ``center`` (replicated
@@ -128,12 +147,7 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
     into this shard's row range only."""
     rows = w_local.shape[0]
     offset = jax.lax.axis_index(MODEL_AXIS) * rows
-    center = _global_center(spec, w_local)
-    w_sq = (
-        jnp.sum(jnp.square(w_local), axis=1, keepdims=True)
-        if dist.can_cache
-        else None
-    )
+    center, w_sq = _center_and_wsq(spec, dist, w_local)
 
     def body(carry, xs):
         x, m = xs
@@ -288,12 +302,7 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         rows = w_local.shape[0] * w_local.shape[1]
         w_flat_local = w_local.reshape(rows, spec.input_len)
         offset = jax.lax.axis_index(MODEL_AXIS) * rows
-        center = _global_center(spec, w_flat_local)
-        w_sq = (
-            jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
-            if dist.can_cache
-            else None
-        )
+        center, w_sq = _center_and_wsq(spec, dist, w_flat_local)
 
         def body(_, x):
             lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq, center)
@@ -408,8 +417,7 @@ def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
         rows = w_local.shape[0] * w_local.shape[1]
         w_flat_local = w_local.reshape(rows, spec.input_len)
         offset = jax.lax.axis_index(MODEL_AXIS) * rows
-        center = _global_center(spec, w_flat_local)
-        w_sq = jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
+        center, w_sq = _center_and_wsq(spec, eucl, w_flat_local)
 
         def body(carry, xs):
             tot, n = carry

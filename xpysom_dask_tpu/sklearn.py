@@ -22,12 +22,19 @@ import numpy as np
 
 try:
     from sklearn.base import BaseEstimator, ClusterMixin, TransformerMixin
-    from sklearn.utils.validation import check_is_fitted, validate_data
+    from sklearn.utils.validation import check_is_fitted
 except ImportError as e:  # pragma: no cover
     raise ImportError(
         "xpysom_dask_tpu.sklearn requires scikit-learn; "
         "pip install scikit-learn"
     ) from e
+
+try:  # sklearn >= 1.6
+    from sklearn.utils.validation import validate_data as _validate_data
+except ImportError:  # pragma: no cover - older sklearn: method form
+
+    def _validate_data(estimator, X, **kwargs):
+        return estimator._validate_data(X, **kwargs)
 
 from .models.som import XPySom
 
@@ -109,7 +116,7 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
         )
 
     def fit(self, X, y=None):
-        X = validate_data(self, X, dtype=np.float32, ensure_min_samples=1)
+        X = _validate_data(self, X, dtype=np.float32, ensure_min_samples=1)
         if self.init not in ("random", "pca", "samples"):
             raise ValueError(
                 f"init={self.init!r} not supported "
@@ -122,27 +129,23 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
             som.random_weights_init(X)
         som.train(X, self.num_epochs)
         self.som_ = som
-        self.labels_ = self._flat_bmu(X)
+        self.labels_ = som.predict(X)
         self.cluster_centers_ = np.asarray(som.get_weights()).reshape(
             -1, X.shape[1]
         )
         self.quantization_error_ = float(som.quantization_error(X))
         return self
 
-    def _flat_bmu(self, X):
-        win = self.som_.winner(X)
-        return np.asarray([i * self.som_._y + j for i, j in win], dtype=np.int64)
-
     def predict(self, X):
         """Flat BMU index (row-major over the (x, y) grid) per sample."""
         check_is_fitted(self)
-        X = validate_data(self, X, dtype=np.float32, reset=False)
-        return self._flat_bmu(X)
+        X = _validate_data(self, X, dtype=np.float32, reset=False)
+        return self.som_.predict(X)
 
     def transform(self, X):
         """(N, x*y) euclidean distances from each sample to every node."""
         check_is_fitted(self)
-        X = validate_data(self, X, dtype=np.float32, reset=False)
+        X = _validate_data(self, X, dtype=np.float32, reset=False)
         return np.asarray(self.som_.distance_from_weights(X))
 
     def inverse_transform(self, labels):
@@ -154,5 +157,5 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
         """Negative quantization error (higher is better, sklearn
         model-selection convention)."""
         check_is_fitted(self)
-        X = validate_data(self, X, dtype=np.float32, reset=False)
+        X = _validate_data(self, X, dtype=np.float32, reset=False)
         return -float(self.som_.quantization_error(X))
