@@ -122,6 +122,43 @@ def test_train_parity_vs_golden_on_chip():
     assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
 
 
+def test_no_pallas_fallback_matches_kernel_path():
+    """XPYSOM_TPU_NO_PALLAS=1 (the reference's _no_opt analog) must train
+    to the same codebook as the fused-kernel path. The env switch is read
+    at trace time, so the fallback runs in a subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(4)
+    data = rng.rand(800, 8).astype(np.float32)
+    np.save("/tmp/xsom_nopallas_data.npy", data)
+
+    som = XPySom(8, 8, 8, sigma=2.0, random_seed=5)
+    som.train(data, 5)
+    w_kernel = np.asarray(som._weights)
+
+    env = dict(os.environ)
+    env["XPYSOM_TPU_NO_PALLAS"] = "1"
+    script = (
+        "import numpy as np, json\n"
+        "from xpysom_dask_tpu import XPySom\n"
+        "data = np.load('/tmp/xsom_nopallas_data.npy')\n"
+        "som = XPySom(8, 8, 8, sigma=2.0, random_seed=5)\n"
+        "som.train(data, 5)\n"
+        "np.save('/tmp/xsom_nopallas_w.npy', np.asarray(som._weights))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd=repo,
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    w_xla = np.load("/tmp/xsom_nopallas_w.npy")
+    np.testing.assert_allclose(w_xla, w_kernel, rtol=2e-5, atol=2e-6)
+
+
 def test_autotune_on_chip():
     """The tile autotuner must compile+time real Mosaic candidates and
     return one of them (ordering is rig-dependent; the flagship-shape
