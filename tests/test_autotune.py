@@ -92,6 +92,15 @@ def test_autotune_selects_and_applies(monkeypatch):
     assert os.environ["XPYSOM_BMU_TILES"] == f"{tn}x{tj}"
 
 
+def test_autotune_inner_scan_mode():
+    cands = [(8, 128)]
+    res = autotune_bmu_tiles(
+        n=64, xy=256, d=8, candidates=cands, reps=1, inner=3
+    )
+    assert res.tiles == (8, 128)
+    assert np.isfinite(res.timings_ms[(8, 128)])
+
+
 def test_autotune_rejects_misaligned_candidate():
     with pytest.raises(ValueError, match="multiple"):
         autotune_bmu_tiles(n=64, xy=256, d=8, candidates=[(7, 128)], reps=1)

@@ -29,8 +29,10 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,12 +40,14 @@ from .bmu import bmu_euclidean, supported
 
 __all__ = ["TuneResult", "autotune_bmu_tiles", "DEFAULT_CANDIDATES"]
 
-# (TN, TJ) sample/lane tile candidates. (1024, 1024) is intentionally
-# absent: it lands in a Mosaic mode with ~3x slower steady-state runtime
-# (see BASELINE.md "tile-shape pathology").
+# (TN, TJ) sample/lane tile candidates. At D=64 the measured spread
+# across these is ~±7% (BASELINE.md; the once-reported 3x (1024, 1024)
+# penalty was relay measurement contamination, since retracted) — the
+# sweep matters at other D/XY regimes and on other TPU generations.
 DEFAULT_CANDIDATES = (
     (512, 1024),
     (512, 2048),
+    (1024, 1024),
     (1024, 2048),
     (2048, 1024),
     (1024, 4096),
@@ -57,7 +61,39 @@ class TuneResult(NamedTuple):
     first_call_s: dict  # {(TN, TJ): first-call (compile+load+warmup) s}
 
 
-def _time_once(x, w, mode, tiles, reps, interpret):
+@partial(jax.jit, static_argnames=("mode", "tiles", "interpret", "inner"))
+def _scanned_kernel(x, w, mode, tiles, interpret, inner):
+    """Run the kernel ``inner`` times inside one dispatch. The carry is
+    threaded through the input as a numerically-negligible perturbation
+    (±1e-30 · x) purely so each iteration DEPENDS on the last — a
+    loop-invariant body would let XLA hoist the kernel out of the scan
+    and time a single execution."""
+
+    def body(c, _):
+        idx, val = bmu_euclidean(
+            x * (1.0 + c), w, mode=mode, tiles=tiles, interpret=interpret
+        )
+        return jnp.float32(1e-30) * jnp.tanh(jnp.sum(val)), (idx[0], val[0])
+
+    c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+    return c
+
+
+def _time_once(x, w, mode, tiles, reps, interpret, inner):
+    if inner > 1:
+        t0 = time.perf_counter()
+        float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
+        first_call_s = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
+            times.append((time.perf_counter() - t0) * 1e3 / inner)
+        return float(np.median(times)), float(first_call_s)
+    return _time_once_single(x, w, mode, tiles, reps, interpret)
+
+
+def _time_once_single(x, w, mode, tiles, reps, interpret):
     # First call timed separately from steady state. NB on a relayed dev
     # rig the first call is dominated by tunnel/program-load latency and
     # can be minutes under load (BASELINE.md round-2 addendum: actual
@@ -90,6 +126,7 @@ def autotune_bmu_tiles(
     apply=False,
     verbose=False,
     interpret=None,
+    inner=1,
 ):
     """Measure ``candidates`` at shape (n, xy, d) on the current backend
     and return a :class:`TuneResult` with the fastest tiles.
@@ -98,7 +135,11 @@ def autotune_bmu_tiles(
     kernels (including XPySom training) pick the winner up.
     ``interpret`` defaults to auto: the Mosaic kernel on TPU, the Pallas
     interpreter elsewhere (mechanics only — off-TPU timings are not
-    meaningful tile comparisons)."""
+    meaningful tile comparisons).
+    ``inner > 1`` executes the kernel that many times per dispatch
+    (timings_ms is per-execution): use it when per-call dispatch overhead
+    rivals the kernel (relayed dev rigs: ~30 ms/call; or small shapes),
+    otherwise the sweep ranks dispatch noise, not tiles."""
     candidates = tuple(candidates) if candidates else DEFAULT_CANDIDATES
     if interpret is None:
         interpret = not supported()
@@ -115,7 +156,9 @@ def autotune_bmu_tiles(
                 f"candidate {cand}: TN must be a multiple of 8, TJ of 128"
             )
         try:
-            ms, first_s = _time_once(x, w, mode, (tn, tj), reps, interpret)
+            ms, first_s = _time_once(
+                x, w, mode, (tn, tj), reps, interpret, int(inner)
+            )
         except Exception as e:  # VMEM overflow / Mosaic reject: skip
             if verbose:
                 print(f"  tiles {cand}: failed ({type(e).__name__})")

@@ -75,12 +75,14 @@ def _tiles_for(d_dim: int):
     reduction-temp bytes) stays well inside the raised VMEM limit.
 
     (1024, 2048) measured 46.2/29.0 ms (packed/bf16) at the flagship
-    2^19×16384×64 shape vs 127 ms for (1024, 1024), which lands in a
-    Mosaic mode with ~3× slower steady-state runtime (shape-deterministic,
-    reproduced across processes). NB the minute-scale *first-call* delays
-    once attributed to these tiles turned out to be relay program-load
-    latency on the dev rig, not compilation — see the round-2 addendum in
-    BASELINE.md (actual XLA/Mosaic compile ≈ 1 s).
+    2^19×16384×64 shape. NB: both the minute-scale first-call delays AND
+    the once-reported 3× (1024, 1024) runtime penalty turned out to be
+    relay measurement contamination on the dev rig (kernel-dominated
+    re-measurement puts all D=64 tile choices within ±7%; actual
+    XLA/Mosaic compile ≈ 1 s) — see the round-2 addendum in BASELINE.md.
+    These defaults are kept because they measure (slightly) fastest and
+    cover the wide-D VMEM budget; autotune_bmu_tiles(inner=32) is the
+    tool for other regimes.
 
     Wide-D re-tune with the augmented-GEMM kernel (65536×4096×512 /
     32768×4096×1024 / 16384×2048×2048): (1024,2048) 11.9 ms vs the old
