@@ -101,6 +101,22 @@ def test_autotune_inner_scan_mode():
     assert np.isfinite(res.timings_ms[(8, 128)])
 
 
+def test_som_autotune_kernel_method(monkeypatch):
+    from xpysom_dask_tpu import XPySom
+
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "")
+    monkeypatch.delenv("XPYSOM_BMU_TILES")
+    som = XPySom(4, 4, 3, n_parallel=64, random_seed=1)
+    res = som.autotune_kernel(candidates=[(8, 128)], reps=1, inner=2)
+    assert res.tiles == (8, 128)
+    assert os.environ["XPYSOM_BMU_TILES"] == "8x128"
+    res2 = som.autotune_kernel(
+        apply=False, candidates=[(16, 128)], reps=1, inner=2
+    )
+    assert os.environ["XPYSOM_BMU_TILES"] == "8x128"  # apply=False: untouched
+    assert res2.tiles == (16, 128)
+
+
 def test_autotune_rejects_misaligned_candidate():
     with pytest.raises(ValueError, match="multiple"):
         autotune_bmu_tiles(n=64, xy=256, d=8, candidates=[(7, 128)], reps=1)

@@ -314,6 +314,27 @@ class XPySom:
         """Returns the weights of the neural network."""
         return self._weights
 
+    def autotune_kernel(self, apply=True, **kwargs):
+        """Measure BMU-kernel tile candidates on the attached device AT
+        THIS SOM'S OWN SHAPE (chunk size, grid nodes, feature width) and,
+        with ``apply=True``, pin the winner via ``XPYSOM_BMU_TILES`` for
+        kernels traced afterwards (call before ``train``). Returns the
+        :class:`~xpysom_dask_tpu.ops.pallas.autotune.TuneResult`.
+        TPU-only tuning; elsewhere it runs mechanically but timings are
+        not meaningful. Extra kwargs pass through to
+        ``autotune_bmu_tiles`` (``candidates=``, ``reps=``, ``inner=``,
+        ``mode=``...)."""
+        from ..ops.pallas.autotune import autotune_bmu_tiles
+
+        kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead
+        return autotune_bmu_tiles(
+            n=self._n_parallel,
+            xy=self._x * self._y,
+            d=self._input_len,
+            apply=apply,
+            **kwargs,
+        )
+
     def get_euclidean_coordinates(self):
         """Euclidean-plane positions of the neurons as two meshgrids
         (reference xpysom.py:291-305)."""
