@@ -239,3 +239,32 @@ def test_checkpoint_extensionless_path(tmp_path):
     loaded = XPySom.load_checkpoint(p)
     np.testing.assert_array_equal(loaded._weights, som._weights)
     assert loaded._checkpoint_epoch == 1
+
+
+def test_load_checkpoint_rejects_non_checkpoint_npz(tmp_path):
+    import pytest
+
+    from xpysom_dask_tpu.utils.serialization import load_checkpoint
+
+    p = tmp_path / "not_a_ckpt.npz"
+    np.savez(p, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not an xpysom checkpoint"):
+        load_checkpoint(p)
+
+
+def test_load_checkpoint_rejects_shape_mismatch(tmp_path):
+    import pytest
+
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.utils.serialization import load_checkpoint
+
+    som = XPySom(4, 3, 2, random_seed=1)
+    p = tmp_path / "ckpt.npz"
+    som.save_checkpoint(p, epoch=1)
+    # corrupt: swap in wrongly-shaped weights, keep everything else
+    with np.load(p) as z:
+        entries = {k: z[k] for k in z.files}
+    entries["weights"] = np.zeros((2, 2, 2), dtype=np.float32)
+    np.savez(p, **entries)
+    with pytest.raises(ValueError, match="does not match its own config"):
+        load_checkpoint(p)

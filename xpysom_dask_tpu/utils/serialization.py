@@ -97,6 +97,11 @@ def load_checkpoint(path, *, mesh=None):
     from ..models.som import XPySom
 
     with np.load(_norm_path(path)) as z:
+        if "header" not in z.files or "weights" not in z.files:
+            raise ValueError(
+                f"{path!r} is not an xpysom checkpoint "
+                f"(missing header/weights entries; found {z.files})"
+            )
         header = json.loads(bytes(z["header"]).decode())
         if header["format_version"] > _FORMAT_VERSION:
             raise ValueError(
@@ -122,7 +127,14 @@ def load_checkpoint(path, *, mesh=None):
             n_parallel=cfg["n_parallel"],
             mesh=mesh,
         )
-        som._weights = np.asarray(z["weights"])
+        w = np.asarray(z["weights"])
+        expect = (cfg["x"], cfg["y"], cfg["input_len"])
+        if w.shape != expect:
+            raise ValueError(
+                f"checkpoint weights shape {w.shape} does not match its "
+                f"own config {expect} — corrupt or hand-edited file"
+            )
+        som._weights = w
         som._random_generator.set_state(
             (
                 "MT19937",
