@@ -133,3 +133,19 @@ def test_bmu_centering_recovers_offset_fidelity():
         center=c,
     )
     np.testing.assert_array_equal(np.asarray(idx2), ref)
+
+
+def test_finish_variants_agree():
+    """The 'argmin' finish (bench alternative) must match the shipped
+    'iota' finish exactly, ties included."""
+    rng = np.random.RandomState(11)
+    x = rng.rand(96, 8).astype(np.float32)
+    w = np.repeat(rng.rand(64, 8).astype(np.float32), 2, axis=0)  # ties
+    i1, v1 = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, finish="iota"
+    )
+    i2, v2 = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, finish="argmin"
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)

@@ -112,12 +112,21 @@ def _split3_bf16(a):
     return h.astype(jnp.bfloat16), m.astype(jnp.bfloat16), l.astype(jnp.bfloat16)
 
 
-def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref):
-    tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    tile_arg = jnp.min(
-        jnp.where(d == tile_min, lane, _BIG_I32), axis=1, keepdims=True
-    )
+def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant="iota"):
+    if variant == "argmin":
+        # single variadic min-with-index reduce (what jnp.argmin lowers to)
+        tile_min = jnp.min(d, axis=1, keepdims=True)
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]
+    elif variant == "minonly":
+        # measurement floor only (argmin output is WRONG): one read pass
+        tile_min = jnp.min(d, axis=1, keepdims=True)
+        tile_arg = jnp.zeros((d.shape[0], 1), jnp.int32)
+    else:  # "iota" (shipped): min-reduce + fused masked-iota reduce
+        tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        tile_arg = jnp.min(
+            jnp.where(d == tile_min, lane, _BIG_I32), axis=1, keepdims=True
+        )
     tile_arg = tile_arg + j * d.shape[1]
 
     better = tile_min < best_ref[:]
@@ -155,7 +164,9 @@ def _kernel_split3(
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
 
 
-def _kernel_gemm_argmin(a_ref, w_ref, idx_ref, val_ref, best_ref, bestidx_ref):
+def _kernel_gemm_argmin(
+    a_ref, w_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
+):
     """One augmented GEMM per step: the distance ``d = -2 x·w + ‖w‖²``
     comes straight off the MXU (``-2w`` and an exact 3-term bf16 split of
     ``‖w‖²`` are folded into the right operand; the matching ones-columns
@@ -175,7 +186,7 @@ def _kernel_gemm_argmin(a_ref, w_ref, idx_ref, val_ref, best_ref, bestidx_ref):
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
     d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
+    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
 def _kernel_highest(
@@ -254,9 +265,17 @@ def _env_tiles():
         return None
 
 
-@partial(jax.jit, static_argnames=("interpret", "mode", "tiles"))
+@partial(jax.jit, static_argnames=("interpret", "mode", "tiles", "finish"))
 def bmu_euclidean(
-    x, w_flat, w_sq=None, *, interpret=False, mode=None, tiles=None, center=None
+    x,
+    w_flat,
+    w_sq=None,
+    *,
+    interpret=False,
+    mode=None,
+    tiles=None,
+    center=None,
+    finish="iota",
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
@@ -362,7 +381,7 @@ def bmu_euclidean(
             (k_aug, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
         )
         idx, val = pl.pallas_call(
-            _kernel_gemm_argmin,
+            partial(_kernel_gemm_argmin, variant=finish),
             in_specs=[a_spec, waug_spec],
             **common,
         )(a, w_aug)
