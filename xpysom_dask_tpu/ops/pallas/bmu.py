@@ -74,25 +74,19 @@ def _tiles_for(d_dim: int):
     per-step VMEM footprint (inputs ~4·T·D bytes + ~24·TN·TJ distance/
     reduction-temp bytes) stays well inside the raised VMEM limit.
 
-    (1024, 2048) measured 46.2/29.0 ms (packed/bf16) at the flagship
-    2^19×16384×64 shape. NB: both the minute-scale first-call delays AND
-    the once-reported 3× (1024, 1024) runtime penalty turned out to be
-    relay measurement contamination on the dev rig (kernel-dominated
-    re-measurement puts all D=64 tile choices within ±7%; actual
-    XLA/Mosaic compile ≈ 1 s) — see the round-2 addendum in BASELINE.md.
-    These defaults are kept because they measure (slightly) fastest and
-    cover the wide-D VMEM budget; autotune_bmu_tiles(inner=32) is the
-    tool for other regimes.
-
-    Wide-D re-tune with the augmented-GEMM kernel (65536×4096×512 /
-    32768×4096×1024 / 16384×2048×2048): (1024,2048) 11.9 ms vs the old
-    (512,1024)'s 14.1 at D=512; (512,2048) 12.3 vs 12.5 at D=1024;
-    (512,1024) 10.1 vs 10.7 at D=2048."""
-    if d_dim <= 512:
-        return _TN, 2 * _TJ  # (1024, 2048)
+    Defaults re-tuned late round 2 with dispatch-amortized batched
+    medians (autotune_bmu_tiles inner mode — earlier per-dispatch tile
+    rankings, including a retracted 3× (1024, 1024) penalty, were relay
+    measurement contamination; see BASELINE.md round-2 addendum):
+    (1024, 1024) wins at D=64 (1.49 vs 1.60 ms/exec at the in-epoch
+    chunk shape; +1.9% end-to-end on bench.py), D=512 (10.09 vs 10.56
+    at 65536×4096) and D=1024 (9.95 vs 10.28 at 32768×4096);
+    (256, 2048) wins at D=2048 (7.30 vs 7.65 at 16384×2048). Spreads
+    across sane tiles are only ±5-10% — re-tune per deployment with
+    ``autotune_bmu_tiles(inner=32)`` when it matters."""
     if d_dim <= 1024:
-        return 512, 2048
-    return 512, 1024
+        return _TN, _TJ  # (1024, 1024)
+    return 256, 2048
 
 
 def _split_bf16(a):
