@@ -55,7 +55,9 @@ def main():
         learning_rate=0.5,
         learning_rateN=0.01,
     )
-    num_epochs = 100  # schedule length (static); we time a slice of it
+    # schedule length (static); we time fresh slices of it — sized so the
+    # warmup + three timed reps always stay inside the schedule
+    num_epochs = max(100, epochs_warmup + 3 * epochs_timed)
 
     rng = np.random.RandomState(0)
     data_np = rng.rand(n, d).astype(np.float32)

@@ -117,6 +117,36 @@ def test_som_autotune_kernel_method(monkeypatch):
     assert res2.tiles == (16, 128)
 
 
+def test_som_autotune_kernel_matches_training_shape(monkeypatch):
+    """The tuned shape must mirror what training traces: chunk capped at
+    the dataset size (then tile-floored) and per-model-shard nodes on
+    grid meshes."""
+    import jax
+
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.ops.pallas import autotune as at
+
+    seen = {}
+
+    def spy(n=0, xy=0, d=0, **kw):
+        seen.update(n=n, xy=xy, d=d)
+        return at.TuneResult((8, 128), {(8, 128): 1.0}, {(8, 128): 0.0})
+
+    monkeypatch.setattr("xpysom_dask_tpu.ops.pallas.autotune.autotune_bmu_tiles", spy)
+    som = XPySom(4, 4, 3, n_parallel=4096, random_seed=1)
+    som.autotune_kernel(n_samples=1500)  # < n_parallel -> capped + floored
+    assert seen["n"] == max(1024, (1504 // 1024) * 1024)  # round8 then floor
+
+    if len(jax.devices()) >= 4:
+        from xpysom_dask_tpu.parallel import make_grid_mesh
+
+        som2 = XPySom(
+            8, 4, 3, n_parallel=512, random_seed=1, mesh=make_grid_mesh(2, 2)
+        )
+        som2.autotune_kernel()
+        assert seen["xy"] == 8 * 4 // 2  # per-model-shard nodes
+
+
 def test_autotune_rejects_misaligned_candidate():
     with pytest.raises(ValueError, match="multiple"):
         autotune_bmu_tiles(n=64, xy=256, d=8, candidates=[(7, 128)], reps=1)

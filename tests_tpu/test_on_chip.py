@@ -122,41 +122,54 @@ def test_train_parity_vs_golden_on_chip():
     assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
 
 
-def test_no_pallas_fallback_matches_kernel_path():
+def test_no_pallas_fallback_matches_kernel_path(tmp_path):
     """XPYSOM_TPU_NO_PALLAS=1 (the reference's _no_opt analog) must train
-    to the same codebook as the fused-kernel path. The env switch is read
-    at trace time, so the fallback runs in a subprocess."""
-    import json
+    to a codebook of the same quality as the fused-kernel path. The env
+    switch is read at trace time, so the fallback runs in a subprocess.
+    Per CLAUDE.md, cross-implementation trained WEIGHTS can diverge
+    chaotically through BMU near-ties (the two paths round distances
+    differently at ~1 ulp), so the assertions are QE parity plus
+    trained-map winner agreement — not bitwise weights."""
     import os
     import subprocess
     import sys
 
     rng = np.random.RandomState(4)
     data = rng.rand(800, 8).astype(np.float32)
-    np.save("/tmp/xsom_nopallas_data.npy", data)
+    data_p = tmp_path / "data.npy"
+    w_p = tmp_path / "w.npy"
+    np.save(data_p, data)
 
     som = XPySom(8, 8, 8, sigma=2.0, random_seed=5)
     som.train(data, 5)
-    w_kernel = np.asarray(som._weights)
+    qe_kernel = som.quantization_error(data)
 
     env = dict(os.environ)
     env["XPYSOM_TPU_NO_PALLAS"] = "1"
     script = (
-        "import numpy as np, json\n"
+        "import sys, numpy as np\n"
         "from xpysom_dask_tpu import XPySom\n"
-        "data = np.load('/tmp/xsom_nopallas_data.npy')\n"
+        "data = np.load(sys.argv[1])\n"
         "som = XPySom(8, 8, 8, sigma=2.0, random_seed=5)\n"
         "som.train(data, 5)\n"
-        "np.save('/tmp/xsom_nopallas_w.npy', np.asarray(som._weights))\n"
+        "np.save(sys.argv[2], np.asarray(som._weights))\n"
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
-        [sys.executable, "-c", script], env=env, cwd=repo,
-        capture_output=True, text=True,
+        [sys.executable, "-c", script, str(data_p), str(w_p)],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
-    w_xla = np.load("/tmp/xsom_nopallas_w.npy")
-    np.testing.assert_allclose(w_xla, w_kernel, rtol=2e-5, atol=2e-6)
+    w_xla = np.load(w_p)
+    som_xla = XPySom(8, 8, 8, sigma=2.0, random_seed=5)
+    som_xla._weights = w_xla
+    qe_xla = som_xla.quantization_error(data)
+    assert abs(qe_xla - qe_kernel) / qe_kernel < 1e-3, (qe_xla, qe_kernel)
+    agree = np.mean(som.predict(data) == som_xla.predict(data))
+    assert agree > 0.98, f"winner agreement {agree}"
 
 
 def test_autotune_on_chip():

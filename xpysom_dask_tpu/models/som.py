@@ -314,11 +314,15 @@ class XPySom:
         """Returns the weights of the neural network."""
         return self._weights
 
-    def autotune_kernel(self, apply=True, **kwargs):
-        """Measure BMU-kernel tile candidates on the attached device AT
-        THIS SOM'S OWN SHAPE (chunk size, grid nodes, feature width) and,
-        with ``apply=True``, pin the winner via ``XPYSOM_BMU_TILES`` for
-        kernels traced afterwards (call before ``train``). Returns the
+    def autotune_kernel(self, apply=True, n_samples=None, **kwargs):
+        """Measure BMU-kernel tile candidates on the attached device at
+        the shape training will actually trace for this SOM — the
+        tile-aligned chunk (what ``_chunked`` produces for a large
+        dataset; pass ``n_samples=len(data)`` when the dataset is SMALLER
+        than ``n_parallel``, since then the chunk shrinks to it) and the
+        per-model-shard node count on grid meshes. With ``apply=True``,
+        pins the winner via ``XPYSOM_BMU_TILES`` for kernels traced
+        afterwards (call before ``train``). Returns the
         :class:`~xpysom_dask_tpu.ops.pallas.autotune.TuneResult`.
         TPU-only tuning; elsewhere it runs mechanically but timings are
         not meaningful. Extra kwargs pass through to
@@ -326,10 +330,22 @@ class XPySom:
         ``mode=``...)."""
         from ..ops.pallas.autotune import autotune_bmu_tiles
 
+        # mirror _chunked's sizing: cap at the data size, then floor to
+        # the kernel sample tile
+        chunk = self._n_parallel
+        if n_samples is not None:
+            chunk = min(chunk, round_up(max(int(n_samples), 1), 8))
+        if chunk > 1024:
+            chunk = max(1024, (chunk // 1024) * 1024)
+        xy = self._x * self._y
+        if self._is_grid_mesh():
+            from ..parallel.grid_sharded import MODEL_AXIS
+
+            xy = max(xy // int(self._mesh.shape[MODEL_AXIS]), 1)
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead
         return autotune_bmu_tiles(
-            n=self._n_parallel,
-            xy=self._x * self._y,
+            n=chunk,
+            xy=xy,
             d=self._input_len,
             apply=apply,
             **kwargs,

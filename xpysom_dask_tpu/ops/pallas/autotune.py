@@ -80,38 +80,30 @@ def _scanned_kernel(x, w, mode, tiles, interpret, inner):
 
 
 def _time_once(x, w, mode, tiles, reps, interpret, inner):
-    if inner > 1:
-        t0 = time.perf_counter()
-        float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
-        first_call_s = time.perf_counter() - t0
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
-            times.append((time.perf_counter() - t0) * 1e3 / inner)
-        return float(np.median(times)), float(first_call_s)
-    return _time_once_single(x, w, mode, tiles, reps, interpret)
-
-
-def _time_once_single(x, w, mode, tiles, reps, interpret):
     # First call timed separately from steady state. NB on a relayed dev
     # rig the first call is dominated by tunnel/program-load latency and
     # can be minutes under load (BASELINE.md round-2 addendum: actual
     # XLA/Mosaic compile measured ~1 s even when the first call took
     # 57-703 s) — an anomalous first_call_s flags relay load, while
     # timings_ms (steady state) is what selects the tile.
+    if inner > 1:
+        def run():
+            float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
+    else:
+        def run():
+            idx, val = bmu_euclidean(
+                x, w, mode=mode, tiles=tiles, interpret=interpret
+            )
+            float(jnp.sum(val))  # host fetch = device sync
+
     t0 = time.perf_counter()
-    idx, val = bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
-    float(jnp.sum(val))
+    run()
     first_call_s = time.perf_counter() - t0
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        idx, val = bmu_euclidean(
-            x, w, mode=mode, tiles=tiles, interpret=interpret
-        )
-        float(jnp.sum(val))  # host fetch = device sync
-        times.append((time.perf_counter() - t0) * 1e3)
+        run()
+        times.append((time.perf_counter() - t0) * 1e3 / inner)
     return float(np.median(times)), float(first_call_s)
 
 

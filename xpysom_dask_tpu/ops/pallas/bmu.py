@@ -64,7 +64,7 @@ _BIG_I32 = np.int32(2**31 - 1)
 
 # Base tile sizes: TN samples × TJ codebook nodes per VMEM-resident
 # distance tile; see _tiles_for for the measured defaults per feature
-# width (and the (1024, 1024) pathology note).
+# width.
 _TN = 1024
 _TJ = 1024
 
@@ -134,7 +134,16 @@ def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant="iota"):
 
 
 def _kernel_split3(
-    x_ref, wth_ref, wtl_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref
+    x_ref,
+    wth_ref,
+    wtl_ref,
+    wsq_ref,
+    idx_ref,
+    val_ref,
+    best_ref,
+    bestidx_ref,
+    *,
+    variant="iota",
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -155,7 +164,7 @@ def _kernel_split3(
         + jnp.dot(xl, wh, preferred_element_type=jnp.float32)
     )
     d = -2.0 * cross + wsq_ref[:]
-    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
+    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
 def _kernel_gemm_argmin(
@@ -184,7 +193,7 @@ def _kernel_gemm_argmin(
 
 
 def _kernel_highest(
-    x_ref, wt_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref
+    x_ref, wt_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -201,7 +210,7 @@ def _kernel_highest(
         precision=jax.lax.Precision.HIGHEST,
     )
     d = -2.0 * cross + wsq_ref[:]
-    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref)
+    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
 def _pad_to(a, size, axis, value):
@@ -276,6 +285,12 @@ def bmu_euclidean(
     and ``minval`` is that partial squared distance (add ``‖x‖²`` for the
     true squared distance).
 
+    ``finish`` selects the in-kernel reduction strategy (all modes):
+    ``'iota'`` (default, fastest measured), ``'argmin'`` (the variadic
+    min-with-index form, for benchmarking), and ``'minonly'`` — a
+    BENCHMARK-ONLY floor probe whose idx output is MEANINGLESS (always
+    the first lane of the winning tile); never use it for real searches.
+
     Inputs of any (N, D)/(XY, D) shape: samples are padded to the sample
     tile, codebook nodes to the lane tile with ``+inf`` ‖w‖² so padding can
     never win the argmin. ``tiles=(TN, TJ)`` overrides the measured
@@ -292,6 +307,10 @@ def bmu_euclidean(
     """
     if mode is None:
         mode = _mode()
+    if finish not in ("iota", "argmin", "minonly"):
+        raise ValueError(
+            f"finish={finish!r} not recognized (iota|argmin|minonly)"
+        )
     if center is not None:
         x = x - center[None, :]
         w_flat = w_flat - center[None, :]
@@ -387,13 +406,13 @@ def bmu_euclidean(
         # performs the rounding explicitly and cannot be elided.
         wth, wtl = _split_bf16(wt)
         idx, val = pl.pallas_call(
-            _kernel_split3,
+            partial(_kernel_split3, variant=finish),
             in_specs=[x_spec, w_spec, w_spec, wsq_spec],
             **common,
         )(x_p, wth, wtl, wsq_p)
     else:
         idx, val = pl.pallas_call(
-            _kernel_highest,
+            partial(_kernel_highest, variant=finish),
             in_specs=[x_spec, w_spec, wsq_spec],
             **common,
         )(x_p, wt, wsq_p)
