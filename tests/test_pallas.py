@@ -149,3 +149,44 @@ def test_finish_variants_agree():
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_bmu_manhattan_matches_numpy():
+    rng = np.random.RandomState(3)
+    x = rng.rand(150, 9).astype(np.float32)
+    w = rng.rand(400, 9).astype(np.float32)
+    idx, val = pl_bmu.bmu_manhattan(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    ref = np.abs(x[:, None] - w[None]).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(val), ref.min(1), rtol=1e-5)
+
+
+def test_bmu_manhattan_tie_breaking_and_padding():
+    x = np.zeros((5, 3), np.float32)
+    w = np.ones((7, 3), np.float32)  # all tie; padding to 128 must lose
+    idx, val = pl_bmu.bmu_manhattan(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.zeros(5, np.int32))
+    np.testing.assert_allclose(np.asarray(val), 3.0)
+
+
+def test_bmu_cosine_matches_float64():
+    rng = np.random.RandomState(5)
+    x = (rng.randn(120, 6) * 2).astype(np.float32)
+    w = (rng.randn(260, 6) * 2).astype(np.float32)
+    w[7] = 0.0  # zero codebook row: reference nan_to_num -> distance 1
+    idx, val = pl_bmu.bmu_cosine(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    x64, w64 = x.astype(np.float64), w.astype(np.float64)
+    den = np.linalg.norm(x64, axis=1, keepdims=True) * np.linalg.norm(w64, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ref = 1 - np.nan_to_num((x64 @ w64.T) / den)
+    np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(val), ref.min(1), rtol=1e-4, atol=1e-5)
+
+
+def test_bmu_cosine_zero_sample_row():
+    # ||x||=0: every distance is 1 (reference convention) -> first index
+    x = np.zeros((3, 4), np.float32)
+    w = np.random.RandomState(0).rand(10, 4).astype(np.float32)
+    idx, val = pl_bmu.bmu_cosine(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.zeros(3, np.int32))
+    np.testing.assert_allclose(np.asarray(val), 1.0)

@@ -172,6 +172,41 @@ def test_no_pallas_fallback_matches_kernel_path(tmp_path):
     assert agree > 0.98, f"winner agreement {agree}"
 
 
+def test_fused_cosine_and_manhattan_bmu_on_chip():
+    """The round-2-late fused kernels for the cosine and manhattan
+    activations must agree with the XLA distance-matrix formulation on
+    real hardware (tolerating only fp-reassociation near-ties), and
+    end-to-end training with those activations must run through them."""
+    from xpysom_dask_tpu.ops.distances import DistanceFunction
+    from xpysom_dask_tpu.ops.pallas.bmu import bmu_cosine, bmu_manhattan
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(8192, 32).astype(np.float32)
+    w = rng.rand(2048, 32).astype(np.float32)
+
+    idx_m, _ = bmu_manhattan(jnp.asarray(x), jnp.asarray(w))
+    ref_m = np.asarray(
+        jnp.argmin(DistanceFunction("manhattan").flat(
+            jnp.asarray(x), jnp.asarray(w), None), axis=1)
+    )
+    assert np.mean(np.asarray(idx_m) == ref_m) > 0.9999
+
+    idx_c, _ = bmu_cosine(jnp.asarray(x), jnp.asarray(w))
+    ref_c = np.asarray(
+        jnp.argmin(DistanceFunction("cosine").flat(
+            jnp.asarray(x), jnp.asarray(w), None), axis=1)
+    )
+    assert np.mean(np.asarray(idx_c) == ref_c) > 0.999  # packed-split near-ties
+
+    for dist in ("manhattan", "cosine"):
+        som = XPySom(10, 10, 16, sigma=3.0, random_seed=2,
+                     activation_distance=dist)
+        data = rng.rand(3000, 16).astype(np.float32)
+        q0 = som.quantization_error(data)
+        som.train(data, 8)
+        assert som.quantization_error(data) < q0, dist
+
+
 def test_autotune_on_chip():
     """The tile autotuner must compile+time real Mosaic candidates and
     return one of them (ordering is rig-dependent; the flagship-shape

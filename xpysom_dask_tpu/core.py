@@ -154,39 +154,65 @@ def _neighborhood_op(spec: SomSpec, sigma):
 _PALLAS_MAX_D = 2048
 
 
-def _use_pallas_bmu(dist: DistanceFunction, d_dim: int) -> bool:
-    """The fused Pallas BMU kernel replaces distance+argmin for the
-    euclidean activation on TPU backends (trace-time decision — the env
-    switches are read when the enclosing jit first traces). Set
-    XPYSOM_TPU_NO_PALLAS=1 to force the plain-XLA formulation (the
-    reference's ``_no_opt`` pattern); wide-feature configs fall back to
-    XLA automatically (VMEM budget)."""
+# Widest unrolled feature loop for the fused Manhattan BMU kernel.
+_PALLAS_MANHATTAN_MAX_D = 256
+
+
+def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int):
+    """Which fused Pallas BMU kernel (if any) serves this activation on
+    the current backend: 'euclidean' / 'cosine' (augmented-GEMM kernel;
+    cosine rides it via the normalized codebook) / 'manhattan' (unrolled
+    L1 tile kernel) / None (plain-XLA distance matrix + argmin).
+    Trace-time decision — the env switches are read when the enclosing
+    jit first traces. XPYSOM_TPU_NO_PALLAS=1 forces the XLA formulation
+    (the reference's ``_no_opt`` pattern); wide-feature configs fall back
+    automatically (VMEM/unroll budgets)."""
     import os
 
     if os.environ.get("XPYSOM_TPU_NO_PALLAS"):
-        return False
-    if dist.name != "euclidean" or d_dim > _PALLAS_MAX_D:
-        return False
+        return None
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return None
     except Exception:  # pragma: no cover
-        return False
+        return None
+    if dist.name in ("euclidean", "cosine") and d_dim <= _PALLAS_MAX_D:
+        return dist.name
+    if dist.name == "manhattan" and d_dim <= _PALLAS_MANHATTAN_MAX_D:
+        return "manhattan"
+    return None
+
+
+def _use_pallas_bmu(dist: DistanceFunction, d_dim: int) -> bool:
+    """Back-compat predicate: the euclidean fused kernel is selected."""
+    return _pallas_bmu_kind(dist, d_dim) == "euclidean"
 
 
 def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
     """Flat BMU indices for one chunk (reference xpysom.py:410-417).
-    First-index tie-breaking matches NumPy/CuPy argmin. On TPU with the
-    euclidean activation this is the fused Pallas kernel (distance tile
-    never leaves VMEM); otherwise distance matrix + argmin in XLA.
-    The kernel is centered by the codebook mean — translation-invariant
-    for the argmin, and it shrinks the bf16-split error floor on
-    non-origin-centered data (see bmu_euclidean)."""
-    if _use_pallas_bmu(dist, x.shape[-1]):
+    First-index tie-breaking matches NumPy/CuPy argmin. On TPU the
+    euclidean, cosine and manhattan activations run fused Pallas kernels
+    (distance tile never leaves VMEM); otherwise distance matrix + argmin
+    in XLA. The euclidean kernel is centered by the codebook mean —
+    translation-invariant for the argmin, and it shrinks the bf16-split
+    error floor on non-origin-centered data (see bmu_euclidean)."""
+    kind = _pallas_bmu_kind(dist, x.shape[-1])
+    if kind == "euclidean":
         from .ops.pallas.bmu import bmu_euclidean
 
         idx, _ = bmu_euclidean(
             x, w_flat, w_sq, center=jnp.mean(w_flat, axis=0)
         )
+        return idx
+    if kind == "cosine":
+        from .ops.pallas.bmu import bmu_cosine
+
+        idx, _ = bmu_cosine(x, w_flat)
+        return idx
+    if kind == "manhattan":
+        from .ops.pallas.bmu import bmu_manhattan
+
+        idx, _ = bmu_manhattan(x, w_flat)
         return idx
     d = dist.flat(x, w_flat, w_sq)
     return jnp.argmin(d, axis=1).astype(jnp.int32)

@@ -58,7 +58,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bmu_euclidean", "supported"]
+__all__ = ["bmu_euclidean", "bmu_cosine", "bmu_manhattan", "supported"]
 
 _BIG_I32 = np.int32(2**31 - 1)
 
@@ -416,4 +416,108 @@ def bmu_euclidean(
             in_specs=[x_spec, w_spec, wsq_spec],
             **common,
         )(x_p, wt, wsq_p)
+    return idx[:n, 0], val[:n, 0]
+
+
+@partial(jax.jit, static_argnames=("interpret", "mode", "tiles"))
+def bmu_cosine(x, w_flat, *, interpret=False, mode=None, tiles=None):
+    """Fused BMU search under the COSINE activation (reference
+    distances.py:45-59 + argmin): returns ``(idx, dist)`` where
+    ``idx[n] = argmin_j (1 − x_n·w_j / (‖x_n‖‖w_j‖))`` and ``dist`` is
+    that cosine distance.
+
+    Rides the euclidean augmented-GEMM kernel unchanged: with the
+    row-normalized codebook ``ŵ`` and a ZERO ``‖w‖²`` operand, the MXU
+    emits ``−x·ŵ`` whose per-row argmin is exactly the cosine argmin
+    (``‖x‖`` is a positive per-row constant; zero rows reproduce the
+    reference's ``nan_to_num`` convention — all-equal distance 1). The
+    min value is rescaled to the true cosine distance afterwards."""
+    xy = w_flat.shape[0]
+    w_norm = jnp.sqrt(jnp.sum(jnp.square(w_flat), axis=1, keepdims=True))
+    w_hat = jnp.where(w_norm > 0, w_flat / jnp.where(w_norm > 0, w_norm, 1.0), 0.0)
+    idx, negdot = bmu_euclidean(
+        x,
+        0.5 * w_hat,  # kernel computes −2·x·(ŵ/2) + 0 = −x·ŵ
+        jnp.zeros((xy, 1), jnp.float32),
+        interpret=interpret,
+        mode=mode,
+        tiles=tiles,
+    )
+    x_norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=1))
+    sim = jnp.nan_to_num(-negdot / x_norm)
+    return idx, 1.0 - sim
+
+
+# Widest unrolled feature loop for the fused Manhattan BMU (same bound as
+# the matrix kernel in manhattan.py).
+_MANHATTAN_MAX_D = 256
+
+
+def _kernel_manhattan_argmin(
+    x_ref, wt_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
+):
+    """L1-distance tile (static D unroll, layout-preserving VPU ops, as in
+    manhattan.py) folded into the shared running (min, argmin) finish —
+    the (N, XY) distance matrix never reaches HBM."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
+
+    x = x_ref[:]  # (TN, D)
+    wt = wt_ref[:]  # (D, TJ)
+    d = jnp.zeros((x.shape[0], wt.shape[1]), dtype=jnp.float32)
+    for k in range(x.shape[1]):
+        d = d + jnp.abs(x[:, k : k + 1] - wt[k : k + 1, :])
+    _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tiles"))
+def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
+    """Fused BMU search under the MANHATTAN activation: ``(idx, minval)``
+    with ``idx[n] = argmin_j Σ_d |x_nd − w_jd|`` (exact f32 L1, NumPy
+    first-index ties). Codebook padding rows are +inf so they never win."""
+    n, d_dim = x.shape
+    xy = w_flat.shape[0]
+    tn_max, tj_max = tiles if tiles is not None else (256, 1024)
+    tn = min(tn_max, max(8, -(-n // 8) * 8))
+    tj = min(tj_max, max(128, -(-xy // 128) * 128))
+    n_pad = -(-n // tn) * tn
+    xy_pad = -(-xy // tj) * tj
+
+    x_p = _pad_to(x.astype(jnp.float32), n_pad, 0, 0.0)
+    # pad codebook with +inf so |x − w| = inf keeps padded nodes losing
+    wt = _pad_to(w_flat.astype(jnp.float32).T, xy_pad, 1, jnp.inf)
+
+    common = dict(
+        grid=(n_pad // tn, xy_pad // tj),
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    if not interpret:
+        common["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    idx, val = pl.pallas_call(
+        _kernel_manhattan_argmin,
+        in_specs=[
+            pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        **common,
+    )(x_p, wt)
     return idx[:n, 0], val[:n, 0]

@@ -103,10 +103,13 @@ def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
     uses ``center``, while the XLA path wants the plain w_sq cache and no
     center (and the center's psum collective must not run at all for
     distances that never use it)."""
-    from ..core import _use_pallas_bmu
+    from ..core import _pallas_bmu_kind
 
-    if _use_pallas_bmu(dist, spec.input_len):
+    kind = _pallas_bmu_kind(dist, spec.input_len)
+    if kind == "euclidean":
         return _global_center(spec, w_flat_local), None
+    if kind is not None:  # cosine/manhattan kernels take neither input
+        return None, None
     w_sq = (
         jnp.sum(jnp.square(w_flat_local), axis=1, keepdims=True)
         if dist.can_cache
@@ -116,16 +119,29 @@ def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
 
 
 def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None):
-    """Per-shard (min value, local argmin) — via the fused Pallas kernel on
-    TPU (euclidean), else the XLA distance matrix. ``center`` (replicated
-    over shards) shifts min values identically everywhere; see
-    bmu_euclidean."""
-    from ..core import _use_pallas_bmu
+    """Per-shard (min value, local argmin) — via the fused Pallas kernels
+    on TPU (euclidean/cosine/manhattan), else the XLA distance matrix.
+    Min values must be comparable ACROSS shards for the pmin merge:
+    ``center`` (replicated) shifts the euclidean values identically
+    everywhere, the cosine value 1−sim divides by the shard-invariant
+    ``‖x‖``, and the L1 value is absolute."""
+    from ..core import _pallas_bmu_kind
 
-    if _use_pallas_bmu(dist, x.shape[-1]):
+    kind = _pallas_bmu_kind(dist, x.shape[-1])
+    if kind == "euclidean":
         from ..ops.pallas.bmu import bmu_euclidean
 
         idx, val = bmu_euclidean(x, w_local, w_sq, center=center)
+        return val, idx
+    if kind == "cosine":
+        from ..ops.pallas.bmu import bmu_cosine
+
+        idx, val = bmu_cosine(x, w_local)
+        return val, idx
+    if kind == "manhattan":
+        from ..ops.pallas.bmu import bmu_manhattan
+
+        idx, val = bmu_manhattan(x, w_local)
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
     # jnp.argmin is first-index on ties, same as the kernel's iota trick
