@@ -190,3 +190,16 @@ def test_bmu_cosine_zero_sample_row():
     idx, val = pl_bmu.bmu_cosine(jnp.asarray(x), jnp.asarray(w), interpret=True)
     np.testing.assert_array_equal(np.asarray(idx), np.zeros(3, np.int32))
     np.testing.assert_allclose(np.asarray(val), 1.0)
+
+
+@pytest.mark.parametrize("p", [2, 4, 6])
+def test_bmu_norm_p_even_matches_numpy(p):
+    rng = np.random.RandomState(p)
+    x = rng.rand(80, 5).astype(np.float32)
+    w = rng.rand(200, 5).astype(np.float32)
+    idx, val = pl_bmu.bmu_norm_p_even(
+        jnp.asarray(x), jnp.asarray(w), p=p, interpret=True
+    )
+    ref = (np.abs(x[:, None].astype(np.float64) - w[None]) ** p).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(val), ref.min(1), rtol=2e-4, atol=1e-5)

@@ -180,6 +180,10 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int):
         return dist.name
     if dist.name == "manhattan" and d_dim <= _PALLAS_MANHATTAN_MAX_D:
         return "manhattan"
+    if dist.name == "norm_p":
+        p = int(dist.kwargs.get("p", 2))
+        if p % 2 == 0 and d_dim * (p + 1) <= _PALLAS_MAX_D:
+            return "norm_p_even"
     return None
 
 
@@ -213,6 +217,11 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
         from .ops.pallas.bmu import bmu_manhattan
 
         idx, _ = bmu_manhattan(x, w_flat)
+        return idx
+    if kind == "norm_p_even":
+        from .ops.pallas.bmu import bmu_norm_p_even
+
+        idx, _ = bmu_norm_p_even(x, w_flat, p=int(dist.kwargs.get("p", 2)))
         return idx
     d = dist.flat(x, w_flat, w_sq)
     return jnp.argmin(d, axis=1).astype(jnp.int32)

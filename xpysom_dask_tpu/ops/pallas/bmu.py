@@ -521,3 +521,53 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
         **common,
     )(x_p, wt)
     return idx[:n, 0], val[:n, 0]
+
+
+@partial(jax.jit, static_argnames=("p", "interpret", "mode", "tiles"))
+def bmu_norm_p_even(
+    x, w_flat, p=2, *, interpret=False, mode="highest", tiles=None, center=None
+):
+    """Fused BMU search under the even-p NORM_P activation: the binomial
+    GEMM form (reference distances.py:77-96) is a pure dot of
+    feature-expanded operands, ``Σ_e (−1)^e C(p,e) x^(p−e)·w^e
+    = φ(x)·ψ(w)`` with ``φ, ψ : (·, D) → (·, D(p+1))`` — so the argmin
+    rides the euclidean augmented-GEMM kernel with a ZERO ``‖w‖²``
+    operand and ``ψ(w)·(−1/2)`` as the codebook (the kernel computes
+    ``−2·φ(x)·(−ψ(w)/2) = φ(x)·ψ(w)`` exactly the distance). Returns
+    ``(idx, dist_p)`` where ``dist_p`` is the norm-p distance RAISED TO
+    THE p-TH POWER, like the XLA form.
+
+    Numerics: the expansion cancels catastrophically (terms O(|x|^p)
+    against distances that can be ≪ 1), so (a) both operands are centered
+    by the codebook mean first — the norm-p distance is translation
+    invariant and centering shrinks every expanded term — and (b) the
+    default mode is 'highest' (exact f32 dots; the bf16-split modes'
+    absolute error lands on the cancelled digits). ``center`` overrides
+    the centering vector — pass the GLOBAL codebook mean on sharded
+    codebooks so per-shard min values stay comparable in pmin merges."""
+    if p % 2 != 0:
+        raise ValueError("p must be even")
+    c = (
+        jnp.mean(w_flat, axis=0, keepdims=True)
+        if center is None
+        else center.reshape(1, -1)
+    )
+    xc = x - c
+    wc = w_flat - c
+    phi = jnp.concatenate([xc**(p - e) for e in range(p + 1)], axis=1)
+    coeffs, k = [], 1
+    for e in range(p + 1):
+        coeffs.append((-1.0 if e % 2 else 1.0) * k)
+        k = (k * (p - e)) // (e + 1)
+    psi = jnp.concatenate(
+        [cf * wc**e for e, cf in enumerate(coeffs)], axis=1
+    )
+    idx, val = bmu_euclidean(
+        phi,
+        -0.5 * psi,
+        jnp.zeros((w_flat.shape[0], 1), jnp.float32),
+        interpret=interpret,
+        mode=mode,
+        tiles=tiles,
+    )
+    return idx, val

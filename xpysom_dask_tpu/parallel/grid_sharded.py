@@ -106,7 +106,8 @@ def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
     from ..core import _pallas_bmu_kind
 
     kind = _pallas_bmu_kind(dist, spec.input_len)
-    if kind == "euclidean":
+    if kind in ("euclidean", "norm_p_even"):
+        # a SHARD-INVARIANT center keeps per-shard min values comparable
         return _global_center(spec, w_flat_local), None
     if kind is not None:  # cosine/manhattan kernels take neither input
         return None, None
@@ -142,6 +143,13 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None):
         from ..ops.pallas.bmu import bmu_manhattan
 
         idx, val = bmu_manhattan(x, w_local)
+        return val, idx
+    if kind == "norm_p_even":
+        from ..ops.pallas.bmu import bmu_norm_p_even
+
+        idx, val = bmu_norm_p_even(
+            x, w_local, p=int(dist.kwargs.get("p", 2)), center=center
+        )
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
     # jnp.argmin is first-index on ties, same as the kernel's iota trick
