@@ -45,6 +45,13 @@ is silently elided to zero under XLA's ``--xla_allow_excess_precision``.
 Tie-breaking matches NumPy argmin (first index wins): within a tile the
 first-minimum lane is selected via an iota trick, across tiles a strict
 ``<`` keeps the earlier tile's winner.
+
+The other activations ride the same machinery (round-2 late):
+``bmu_cosine`` feeds the GEMM kernel the normalized codebook with a zero
+``‖w‖²`` operand (11.8× over the XLA formulation, BASELINE.md),
+``bmu_norm_p_even`` feeds it binomial feature expansions (centered,
+'highest' default — the expansion cancels), and ``bmu_manhattan`` folds
+the unrolled L1 tile into the shared running-(min, argmin) finish.
 """
 
 from __future__ import annotations
