@@ -268,3 +268,42 @@ def test_load_checkpoint_rejects_shape_mismatch(tmp_path):
     np.savez(p, **entries)
     with pytest.raises(ValueError, match="does not match its own config"):
         load_checkpoint(p)
+
+
+def test_streaming_inference_matches_resident():
+    """predict/quantization_error/topographic_error accept sources and
+    stream superbatches; results must equal the resident path."""
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    rng = np.random.RandomState(3)
+    data = rng.rand(5000, 6).astype(np.float32)
+    som = XPySom(7, 6, 6, sigma=2.0, random_seed=2)
+    som.train(data, 4)
+    # force several superbatches so the cross-block accumulation is real
+    som._superbatch_rows = lambda: 1500
+
+    src = ArraySource(data)
+    np.testing.assert_array_equal(som.predict(src), som.predict(data))
+    assert som.quantization_error(src) == pytest.approx(
+        som.quantization_error(data), rel=1e-6
+    )
+    assert som.topographic_error(src) == pytest.approx(
+        som.topographic_error(data), rel=1e-6
+    )
+
+
+def test_streaming_inference_memmap(tmp_path):
+    from xpysom_dask_tpu import XPySom
+
+    rng = np.random.RandomState(4)
+    data = rng.rand(3000, 5).astype(np.float32)
+    p = tmp_path / "d.f32"
+    data.tofile(p)
+    mm = np.memmap(p, dtype=np.float32, mode="r", shape=(3000, 5))
+    som = XPySom(6, 6, 5, sigma=2.0, random_seed=1)
+    som.train(data, 3)
+    np.testing.assert_array_equal(som.predict(mm), som.predict(data))
+    assert som.quantization_error(mm) == pytest.approx(
+        som.quantization_error(data), rel=1e-6
+    )

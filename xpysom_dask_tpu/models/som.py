@@ -361,6 +361,26 @@ class XPySom:
         (reference xpysom.py:308-320)."""
         return self._xx.T[xy], self._yy.T[xy]
 
+    # -- streaming (out-of-core) inference helpers -----------------------------
+
+    @staticmethod
+    def _as_source(data):
+        """DataSource for source-like inputs (anything with
+        ``superbatches`` or an ``np.memmap``), else None — the same
+        duck-typing ``train`` uses for its out-of-core path."""
+        if hasattr(data, "superbatches"):
+            return data
+        if isinstance(data, np.memmap):
+            from ..parallel.pipeline import ArraySource
+
+            return ArraySource(data)
+        return None
+
+    def _superbatch_rows(self) -> int:
+        """~256 MB device-resident blocks (matches the training pipeline's
+        sizing, parallel/pipeline.py)."""
+        return max(4096, min(1 << 22, (1 << 28) // (4 * max(self._input_len, 1))))
+
     # -- activation / winner -------------------------------------------------
 
     def activate(self, x):
@@ -402,7 +422,16 @@ class XPySom:
 
     def predict(self, data):
         """Flat (raveled) winner index per sample (reference
-        xpysom.py:608-617)."""
+        xpysom.py:608-617). Source-like data (DataSource / np.memmap)
+        streams through the device in superbatches — out-of-core serving,
+        same duck-typing as ``train``."""
+        src = self._as_source(data)
+        if src is not None:
+            out = [
+                self._winner_flat(np.atleast_2d(block))
+                for block in src.superbatches(self._superbatch_rows())
+            ]
+            return np.concatenate(out).astype(np.int64)
         data2d = np.atleast_2d(_as_numpy_2d(data))
         return self._winner_flat(data2d).astype(np.int64)
 
@@ -610,25 +639,54 @@ class XPySom:
             out[ps:pe] = np.asarray(arr)
         return out
 
-    def quantization_error(self, data):
-        """Mean distance between samples and their BMU code vectors
-        (reference xpysom.py:673-707)."""
-        data2d = np.atleast_2d(_as_numpy_2d(data))
-        self._check_input_len(data2d)
-        chunks, mask, _ = self._chunked(data2d)
+    def _qe_fn(self):
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import make_quantization_stats_fn_2d
 
-            fn = make_quantization_stats_fn_2d(self._spec, self._mesh)
-        else:
-            fn = core.make_quantization_stats_fn(self._spec, self._mesh)
-        tot, n = fn(self._device_weights(), chunks, mask)
+            return make_quantization_stats_fn_2d(self._spec, self._mesh)
+        return core.make_quantization_stats_fn(self._spec, self._mesh)
+
+    def quantization_error(self, data):
+        """Mean distance between samples and their BMU code vectors
+        (reference xpysom.py:673-707). Source-like data streams in
+        superbatches, folding (Σ errors, Σ count) on the host — the
+        out-of-core counterpart of the resident path."""
+        src = self._as_source(data)
+        if src is not None:
+            fn = self._qe_fn()
+            w = self._device_weights()
+            tot = n = 0.0
+            for block in src.superbatches(self._superbatch_rows()):
+                chunks, mask, _ = self._chunked(np.atleast_2d(block))
+                t, c = fn(w, chunks, mask)
+                tot += float(t)
+                n += float(c)
+            return tot / n
+        data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        chunks, mask, _ = self._chunked(data2d)
+        tot, n = self._qe_fn()(self._device_weights(), chunks, mask)
         return float(tot) / float(n)
 
     def topographic_error(self, data):
         """Fraction of samples whose two best-matching units are not
-        adjacent (reference xpysom.py:709-746)."""
+        adjacent (reference xpysom.py:709-746). Source-like data streams
+        in superbatches like ``predict``/``quantization_error``."""
+        src = self._as_source(data)
+        if src is not None:
+            errs = n = 0.0
+            for block in src.superbatches(self._superbatch_rows()):
+                e, c = self._te_counts(np.atleast_2d(block))
+                errs += e
+                n += c
+            return errs / n
         data2d = np.atleast_2d(_as_numpy_2d(data))
+        e, c = self._te_counts(data2d)
+        return e / c
+
+    def _te_counts(self, data2d):
+        """(Σ errors, Σ count) for one resident block — the reusable body
+        of topographic_error."""
         self._check_input_len(data2d)
         # reference guards on prod(weights.shape) (xpysom.py:721) and then
         # degrades to a NaN-with-warnings mean over an empty diff for 1x1
@@ -636,7 +694,7 @@ class XPySom:
         # map returns NaN instead of crashing in top-2 selection
         if self._x * self._y == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
-            return np.nan
+            return np.nan, 1.0
         # top-2 selection materializes (chunk, XY/shards) distances —
         # budget the chunk independently of the fused training default
         chunks, mask, _ = self._chunked(data2d, chunk=self._matrix_chunk)
@@ -650,7 +708,7 @@ class XPySom:
             if (self._x * self._y) // n_model >= 2:
                 fn = make_topographic_stats_fn_2d(self._spec, self._mesh)
                 errs, n = fn(self._device_weights(), chunks, mask)
-                return float(errs) / float(n)
+                return float(errs), float(n)
             # tiny maps leave <2 codebook rows per model shard — the
             # sharded top-2 merge is undefined there; compute replicated
             # on one device from the host codebook instead of crashing
@@ -663,10 +721,10 @@ class XPySom:
                 jnp.asarray(h_chunks),
                 jnp.asarray(h_mask),
             )
-            return float(errs) / float(n)
+            return float(errs), float(n)
         fn = core.make_topographic_stats_fn(self._spec, self._mesh)
         errs, n = fn(self._device_weights(), chunks, mask)
-        return float(errs) / float(n)
+        return float(errs), float(n)
 
     # -- weight initialization ------------------------------------------------
 
