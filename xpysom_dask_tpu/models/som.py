@@ -24,7 +24,6 @@ What changed underneath:
 from __future__ import annotations
 
 import dataclasses
-import os
 from collections import Counter, defaultdict
 from warnings import warn
 
@@ -168,15 +167,21 @@ class XPySom:
         DistanceFunction(activation_distance, self._activation_distance_kwargs)
 
         # The fused-kernel chunk default (16384) is only safe on paths
-        # that never materialize the (chunk, XY) distance matrix — mirror
-        # core._use_pallas_bmu's static gates here so e.g. wide-feature or
-        # XPYSOM_TPU_NO_PALLAS configs keep the budgeted default.
+        # that never materialize the (chunk, XY) distance matrix — ask the
+        # kernel dispatch itself (constructor-time read of the same gates
+        # training traces: backend, activation, feature width, env), so
+        # e.g. wide-feature or XPYSOM_TPU_NO_PALLAS configs keep the
+        # budgeted default while every fused activation gets big chunks.
         self._n_parallel_explicit = n_parallel != 0
         if n_parallel == 0:
             fused = (
-                activation_distance == "euclidean"
-                and input_len <= core._PALLAS_MAX_D
-                and not os.environ.get("XPYSOM_TPU_NO_PALLAS")
+                core._pallas_bmu_kind(
+                    DistanceFunction(
+                        activation_distance, self._activation_distance_kwargs
+                    ),
+                    input_len,
+                )
+                is not None
             )
             n_parallel = default_n_parallel(x * y, fused=fused)
         self._n_parallel = int(n_parallel)
