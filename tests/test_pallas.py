@@ -203,3 +203,32 @@ def test_bmu_norm_p_even_matches_numpy(p):
     ref = (np.abs(x[:, None].astype(np.float64) - w[None]) ** p).sum(-1)
     np.testing.assert_array_equal(np.asarray(idx), ref.argmin(1))
     np.testing.assert_allclose(np.asarray(val), ref.min(1), rtol=2e-4, atol=1e-5)
+
+
+def test_pallas_bmu_kind_gating(monkeypatch):
+    """The kernel-dispatch gate: right kernel per activation, env kill
+    switch, width fallbacks, CPU -> None."""
+    from xpysom_dask_tpu import core
+    from xpysom_dask_tpu.ops.distances import DistanceFunction
+
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS", raising=False)
+    kind = core._pallas_bmu_kind
+    assert kind(DistanceFunction("euclidean"), 64) == "euclidean"
+    assert kind(DistanceFunction("cosine"), 64) == "cosine"
+    assert kind(DistanceFunction("manhattan"), 64) == "manhattan"
+    assert kind(DistanceFunction("norm_p", {"p": 4}), 64) == "norm_p_even"
+    # width fallbacks
+    assert kind(DistanceFunction("euclidean"), core._PALLAS_MAX_D + 1) is None
+    assert kind(DistanceFunction("manhattan"), 512) is None
+    assert kind(DistanceFunction("norm_p", {"p": 4}), 512) is None  # D(p+1)
+    # odd p and no_opt names stay on XLA
+    assert kind(DistanceFunction("norm_p", {"p": 3}), 16) is None
+    assert kind(DistanceFunction("euclidean_no_opt"), 16) is None
+    # kill switch
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    assert kind(DistanceFunction("euclidean"), 64) is None
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS")
+    # off-TPU
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "cpu")
+    assert kind(DistanceFunction("euclidean"), 64) is None
