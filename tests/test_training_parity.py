@@ -113,3 +113,52 @@ def test_quantization_error_parity_random_weights():
         gold.quantization_error(data),
         rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "distance,kwargs",
+    [("cosine", {}), ("manhattan", {}), ("norm_p", {"p": 4})],
+)
+def test_training_parity_non_euclidean_activations(distance, kwargs):
+    """Training under the cosine/manhattan/even-norm_p activations must
+    track the float64 golden oracle — these are the activations the
+    fused Pallas kernels serve on TPU (XLA path on CPU; the kernels
+    themselves are pinned in test_pallas.py + tests_tpu/)."""
+    rng = np.random.RandomState(6)
+    data = (rng.rand(1200, 10) + 0.1).astype(np.float32)
+
+    som = XPySom(
+        8,
+        7,
+        10,
+        sigma=2.5,
+        random_seed=9,
+        activation_distance=distance,
+        activation_distance_kwargs=kwargs,
+    )
+    golden = GoldenSom(
+        8,
+        7,
+        10,
+        sigma=2.5,
+        random_seed=9,
+        distance=distance,
+        distance_kwargs=kwargs,
+    )
+    np.testing.assert_allclose(som._weights, golden.weights, rtol=1e-6)
+
+    # BMU agreement under the ACTIVATION distance at IDENTICAL (initial)
+    # weights — pins the BMU computation itself. (Post-training maps
+    # drift chaotically through near-ties, per CLAUDE.md: compare QE.)
+    bmu_s = som.predict(data)
+    bmu_g = golden.bmu(data)
+    assert np.mean(bmu_s == bmu_g) > 0.995, distance
+
+    som.train(data, 6)
+    golden.train(data, 6)
+    # QE (always euclidean, reference semantics) against the oracle's map
+    qe_s = som.quantization_error(data)
+    qe_g = golden.quantization_error(data)
+    # similarity-type activations have denser BMU near-ties, so f32-vs-
+    # float64 drift compounds faster than the euclidean 5e-4 bound
+    assert abs(qe_s - qe_g) / qe_g < 2e-3, (distance, qe_s, qe_g)

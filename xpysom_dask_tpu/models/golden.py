@@ -162,8 +162,12 @@ class GoldenSom:
         topology="rectangular",
         compact_support=False,
         random_seed=None,
+        distance="euclidean",
+        distance_kwargs=None,
     ):
         self.x, self.y, self.input_len = x, y, input_len
+        self.distance = distance
+        self.distance_kwargs = dict(distance_kwargs or {})
         self.sigma = min(x, y) / 2 if sigma == 0 else sigma
         self.sigmaN = sigmaN
         self.lr0, self.lrN = learning_rate, learning_rateN
@@ -178,7 +182,9 @@ class GoldenSom:
 
     def bmu(self, data):
         w_flat = self.weights.reshape(-1, self.input_len)
-        d = golden_distance("euclidean", data, w_flat)
+        d = golden_distance(
+            self.distance, data, w_flat, **self.distance_kwargs
+        )
         return np.argmin(d, axis=1)
 
     def train(self, data, num_epochs, iter_beg=0, iter_end=None):
@@ -190,7 +196,9 @@ class GoldenSom:
             eta = golden_decay(self.decay, self.lr0, self.lrN, t, num_epochs)
             sig = golden_decay(self.decay, self.sigma, self.sigmaN, t, num_epochs)
             w_flat = w.reshape(-1, self.input_len)
-            d = golden_distance("euclidean", data, w_flat)
+            d = golden_distance(
+                self.distance, data, w_flat, **self.distance_kwargs
+            )
             flat_bmu = np.argmin(d, axis=1)
             c = (flat_bmu // self.y, flat_bmu % self.y)
             # Known residual divergence vs XLA implementations: when the
@@ -226,7 +234,9 @@ class GoldenSom:
         return self
 
     def quantization_error(self, data):
+        # BMU by EUCLIDEAN distance regardless of the activation distance,
+        # like the reference (xpysom.py:632-645,673-707)
         data = np.asarray(data, dtype=np.float64)
         w_flat = self.weights.reshape(-1, self.input_len)
-        bmu = self.bmu(data)
+        bmu = np.argmin(golden_distance("euclidean", data, w_flat), axis=1)
         return float(np.mean(np.linalg.norm(data - w_flat[bmu], axis=1)))
