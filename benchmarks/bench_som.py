@@ -17,7 +17,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from benchmarks.bench_utils import bench  # noqa: E402
-from xpysom_dask_tpu.core import SomSpec, chunk_data, make_epoch_fn  # noqa: E402
+from xpysom_dask_tpu.core import SomSpec, chunk_data, make_epoch_fn, make_train_fn  # noqa: E402
 
 
 def main():
@@ -28,6 +28,10 @@ def main():
     ap.add_argument("-n", type=int, default=1 << 18, help="samples per epoch")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("-r", type=int, default=5)
+    ap.add_argument("--epochs-per-rep", type=int, default=10,
+                    help="epochs per timed dispatch (amortizes transport "
+                         "dispatch/queue latency; see BASELINE.md round-2 "
+                         "addendum on per-dispatch timing hazards)")
     ap.add_argument("--neighborhood", default="gaussian")
     ap.add_argument("--topology", default="rectangular")
     ap.add_argument("--mesh", type=int, default=0,
@@ -81,30 +85,47 @@ def main():
         mask = jnp.asarray(mask)
         w = jnp.asarray(rng.rand(args.x, args.y, args.d).astype(np.float32))
 
+    k = max(1, args.epochs_per_rep)
+    schedule = max(100, (args.r + 2) * k + 1)
     if mesh is not None:
         from xpysom_dask_tpu.parallel.grid_sharded import is_grid_mesh
 
         if is_grid_mesh(mesh):
             from xpysom_dask_tpu.parallel.grid_sharded import make_epoch_fn_2d
 
-            step = make_epoch_fn_2d(spec, 100, mesh)
-        else:
-            step = make_epoch_fn(spec, 100, mesh)
-    else:
-        step = make_epoch_fn(spec, 100, mesh)
+            step = make_epoch_fn_2d(spec, schedule, mesh)
 
-    def run_epoch(w, chunks, mask):
-        # step donates its codebook buffer; hand it a fresh copy per rep
-        return step(jnp.array(w, copy=True), chunks, mask, jnp.int32(1))
+            def run_k(w, chunks, mask):
+                for t in range(k):
+                    w = step(w, chunks, mask, jnp.int32(1))
+                return w
+        else:
+            train = make_epoch_fn(spec, schedule, mesh)
+
+            def run_k(w, chunks, mask):
+                for t in range(k):
+                    w = train(w, chunks, mask, jnp.int32(1))
+                return w
+    else:
+        train_fn = make_train_fn(spec, schedule)
+
+        def run_k(w, chunks, mask):
+            # K epochs in ONE dispatch — per-dispatch transport latency is
+            # load-dependent on relayed rigs (BASELINE.md); amortize it
+            return train_fn(w, chunks, mask, jnp.int32(1), jnp.int32(1 + k))
+
+    def run(w, chunks, mask):
+        return run_k(jnp.array(w, copy=True), chunks, mask)
 
     print(
         f"backend={jax.default_backend()} som={args.x}x{args.y}x{args.d} "
         f"n={args.n} chunk={args.chunk} mesh={args.mesh or 'off'}"
         + (f" model={args.model}" if args.model else "")
+        + f" epochs/rep={k}"
     )
-    res = bench(run_epoch, w, chunks, mask, name="epoch", reps=args.r)
+    res = bench(run, w, chunks, mask, name=f"{k} epochs", reps=args.r)
     print(res)
-    print(f"throughput: {args.n / res.mean:,.0f} samples/s")
+    print(f"throughput (min-based): {args.n * k / res.min:,.0f} samples/s")
 
 
 if __name__ == "__main__":
