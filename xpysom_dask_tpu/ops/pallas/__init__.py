@@ -5,14 +5,17 @@ Manhattan distance (reference distances.py:110-118). The TPU-native
 equivalents here go further, attacking the actual bottleneck of the batch
 SOM (HBM traffic on the ``(N, XY)`` distance matrix):
 
-- ``bmu``: fused ``‖x - w‖²``-partial + argmin BMU search. The distance
-  tile lives only in VMEM; the kernel streams sample tiles against a
-  codebook kept on-chip and writes just the ``(N,)`` winner indices (and
-  min values) back to HBM — removing the dominant memory-bound
-  materialization the XLA path pays.
-- ``manhattan``: tiled |x-w| reduction (the CUDA kernel's counterpart).
+- ``bmu``: fused distance + argmin BMU search for every GEMM-expressible
+  activation (euclidean / cosine / even-p norm_p via one augmented GEMM;
+  manhattan via an unrolled L1 tile) plus the on-device tile
+  ``autotune``r. The distance tile lives only in VMEM; the kernel streams
+  sample tiles against a codebook kept on-chip and writes just the
+  ``(N,)`` winner indices (and min values) back to HBM — removing the
+  dominant memory-bound materialization the XLA path pays.
+- ``manhattan``: tiled |x-w| distance-MATRIX kernel (the CUDA kernel's
+  direct counterpart, for when the full matrix is wanted).
 """
 
-from . import bmu, manhattan  # noqa: F401
+from . import autotune, bmu, manhattan  # noqa: F401
 
-__all__ = ["bmu", "manhattan"]
+__all__ = ["autotune", "bmu", "manhattan"]
