@@ -2,6 +2,7 @@
 matrix-materializing paths, distance_from_weights weights=, tiny-map
 grid-mesh topographic error)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -72,3 +73,81 @@ def test_grid_mesh_tiny_map_topographic_error_falls_back():
     te = som.topographic_error(data)
     ref = XPySom(2, 1, 5, sigma=1.0, random_seed=3).topographic_error(data)
     assert te == pytest.approx(ref)
+
+
+def test_fractional_p_never_dispatches_even_kernel(monkeypatch):
+    """norm_p with fractional p must stay on the generic XLA path — the
+    even-p kernel would silently compute the wrong metric."""
+    from xpysom_dask_tpu import core
+    from xpysom_dask_tpu.ops.distances import DistanceFunction
+
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
+    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 2.5}), 8) is None
+    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.0}), 8) is None
+    assert (
+        core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 4.0}), 8)
+        == "norm_p_even"
+    )
+
+
+def test_streaming_predict_empty_source():
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    som = XPySom(4, 4, 3, random_seed=1)
+    out = som.predict(ArraySource(np.empty((0, 3), np.float32)))
+    assert out.shape == (0,) and out.dtype == np.int64
+
+
+def test_streaming_qe_checks_feature_count():
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    som = XPySom(4, 4, 3, random_seed=1)
+    bad = ArraySource(np.random.rand(50, 5).astype(np.float32))
+    with pytest.raises(ValueError, match="features"):
+        som.quantization_error(bad)
+    with pytest.raises(ValueError, match="features"):
+        som.predict(bad)
+
+
+def test_manhattan_kernel_honors_env_tiles(monkeypatch):
+    from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(40, 5).astype(np.float32)
+    w = rng.rand(150, 5).astype(np.float32)
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+    idx, _ = pl_bmu.bmu_manhattan(jnp.asarray(x), jnp.asarray(w), interpret=True)
+    ref = np.abs(x[:, None] - w[None]).sum(-1).argmin(1)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_autotune_kernel_maps_activation(monkeypatch):
+    """autotune_kernel must tune the kernel/width/mode the activation
+    actually traces (manhattan kernel; norm_p expanded-width highest)."""
+    from xpysom_dask_tpu import XPySom, core
+    from xpysom_dask_tpu.ops.pallas import autotune as at
+
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
+    seen = {}
+
+    def spy(n=0, xy=0, d=0, **kw):
+        seen.update(n=n, xy=xy, d=d, **kw)
+        return at.TuneResult((8, 128), {(8, 128): 1.0}, {(8, 128): 0.0})
+
+    monkeypatch.setattr(
+        "xpysom_dask_tpu.ops.pallas.autotune.autotune_bmu_tiles", spy
+    )
+    som = XPySom(4, 4, 8, n_parallel=64, random_seed=1,
+                 activation_distance="manhattan")
+    som.autotune_kernel()
+    assert seen.get("kernel") == "manhattan" and seen["d"] == 8
+
+    seen.clear()
+    som2 = XPySom(4, 4, 8, n_parallel=64, random_seed=1,
+                  activation_distance="norm_p",
+                  activation_distance_kwargs={"p": 4})
+    som2.autotune_kernel()
+    assert seen["d"] == 8 * 5 and seen.get("mode") == "highest"
+

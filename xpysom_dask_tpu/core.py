@@ -181,15 +181,16 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int):
     if dist.name == "manhattan" and d_dim <= _PALLAS_MANHATTAN_MAX_D:
         return "manhattan"
     if dist.name == "norm_p":
-        p = int(dist.kwargs.get("p", 2))
-        if p % 2 == 0 and d_dim * (p + 1) <= _PALLAS_MAX_D:
+        p = dist.kwargs.get("p", 2)
+        # fractional p must stay on the generic XLA path — int() truncation
+        # here would silently dispatch the wrong metric
+        if (
+            float(p).is_integer()
+            and int(p) % 2 == 0
+            and d_dim * (int(p) + 1) <= _PALLAS_MAX_D
+        ):
             return "norm_p_even"
     return None
-
-
-def _use_pallas_bmu(dist: DistanceFunction, d_dim: int) -> bool:
-    """Back-compat predicate: the euclidean fused kernel is selected."""
-    return _pallas_bmu_kind(dist, d_dim) == "euclidean"
 
 
 def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):

@@ -347,11 +347,25 @@ class XPySom:
             from ..parallel.grid_sharded import MODEL_AXIS
 
             xy = max(xy // int(self._mesh.shape[MODEL_AXIS]), 1)
+        # tune the kernel + feature width + mode TRAINING actually traces
+        # for this activation (core._pallas_bmu_kind): manhattan has its
+        # own kernel; even-p norm_p rides the euclidean kernel at the
+        # EXPANDED width in 'highest' mode; cosine matches euclidean dims
+        kind = core._pallas_bmu_kind(
+            self._spec.distance_fn(), self._input_len
+        )
+        d_eff = self._input_len
+        if kind == "manhattan":
+            kwargs.setdefault("kernel", "manhattan")
+        elif kind == "norm_p_even":
+            p = int(self._activation_distance_kwargs.get("p", 2))
+            d_eff = self._input_len * (p + 1)
+            kwargs.setdefault("mode", "highest")
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead
         return autotune_bmu_tiles(
             n=chunk,
             xy=xy,
-            d=self._input_len,
+            d=d_eff,
             apply=apply,
             **kwargs,
         )
@@ -432,10 +446,13 @@ class XPySom:
         same duck-typing as ``train``."""
         src = self._as_source(data)
         if src is not None:
-            out = [
-                self._winner_flat(np.atleast_2d(block))
-                for block in src.superbatches(self._superbatch_rows())
-            ]
+            out = []
+            for block in src.superbatches(self._superbatch_rows()):
+                block = np.atleast_2d(block)
+                self._check_input_len(block)
+                out.append(self._winner_flat(block))
+            if not out:
+                return np.empty(0, dtype=np.int64)
             return np.concatenate(out).astype(np.int64)
         data2d = np.atleast_2d(_as_numpy_2d(data))
         return self._winner_flat(data2d).astype(np.int64)
@@ -662,7 +679,9 @@ class XPySom:
             w = self._device_weights()
             tot = n = 0.0
             for block in src.superbatches(self._superbatch_rows()):
-                chunks, mask, _ = self._chunked(np.atleast_2d(block))
+                block = np.atleast_2d(block)
+                self._check_input_len(block)
+                chunks, mask, _ = self._chunked(block)
                 t, c = fn(w, chunks, mask)
                 tot += float(t)
                 n += float(c)
@@ -677,6 +696,9 @@ class XPySom:
         """Fraction of samples whose two best-matching units are not
         adjacent (reference xpysom.py:709-746). Source-like data streams
         in superbatches like ``predict``/``quantization_error``."""
+        if self._x * self._y == 1:  # once, not per superbatch
+            warn("The topographic error is not defined for a 1-by-1 map.")
+            return np.nan
         src = self._as_source(data)
         if src is not None:
             errs = n = 0.0

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bmu import bmu_euclidean, supported
+from .bmu import bmu_euclidean, bmu_manhattan, supported
 
 __all__ = ["TuneResult", "autotune_bmu_tiles", "DEFAULT_CANDIDATES"]
 
@@ -61,8 +61,16 @@ class TuneResult(NamedTuple):
     first_call_s: dict  # {(TN, TJ): first-call (compile+load+warmup) s}
 
 
-@partial(jax.jit, static_argnames=("mode", "tiles", "interpret", "inner"))
-def _scanned_kernel(x, w, mode, tiles, interpret, inner):
+def _kernel_call(kernel, x, w, mode, tiles, interpret):
+    if kernel == "manhattan":
+        return bmu_manhattan(x, w, tiles=tiles, interpret=interpret)
+    return bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
+
+
+@partial(
+    jax.jit, static_argnames=("kernel", "mode", "tiles", "interpret", "inner")
+)
+def _scanned_kernel(kernel, x, w, mode, tiles, interpret, inner):
     """Run the kernel ``inner`` times inside one dispatch. The carry is
     threaded through the input as a numerically-negligible perturbation
     (±1e-30 · x) purely so each iteration DEPENDS on the last — a
@@ -70,8 +78,8 @@ def _scanned_kernel(x, w, mode, tiles, interpret, inner):
     and time a single execution."""
 
     def body(c, _):
-        idx, val = bmu_euclidean(
-            x * (1.0 + c), w, mode=mode, tiles=tiles, interpret=interpret
+        idx, val = _kernel_call(
+            kernel, x * (1.0 + c), w, mode, tiles, interpret
         )
         return jnp.float32(1e-30) * jnp.tanh(jnp.sum(val)), (idx[0], val[0])
 
@@ -79,7 +87,7 @@ def _scanned_kernel(x, w, mode, tiles, interpret, inner):
     return c
 
 
-def _time_once(x, w, mode, tiles, reps, interpret, inner):
+def _time_once(x, w, mode, tiles, reps, interpret, inner, kernel):
     # First call timed separately from steady state. NB on a relayed dev
     # rig the first call is dominated by tunnel/program-load latency and
     # can be minutes under load (BASELINE.md round-2 addendum: actual
@@ -88,12 +96,14 @@ def _time_once(x, w, mode, tiles, reps, interpret, inner):
     # timings_ms (steady state) is what selects the tile.
     if inner > 1:
         def run():
-            float(_scanned_kernel(x, w, mode, tuple(tiles), interpret, inner))
+            float(
+                _scanned_kernel(
+                    kernel, x, w, mode, tuple(tiles), interpret, inner
+                )
+            )
     else:
         def run():
-            idx, val = bmu_euclidean(
-                x, w, mode=mode, tiles=tiles, interpret=interpret
-            )
+            idx, val = _kernel_call(kernel, x, w, mode, tuple(tiles), interpret)
             float(jnp.sum(val))  # host fetch = device sync
 
     t0 = time.perf_counter()
@@ -119,6 +129,7 @@ def autotune_bmu_tiles(
     verbose=False,
     interpret=None,
     inner=1,
+    kernel="euclidean",
 ):
     """Measure ``candidates`` at shape (n, xy, d) on the current backend
     and return a :class:`TuneResult` with the fastest tiles.
@@ -131,7 +142,10 @@ def autotune_bmu_tiles(
     ``inner > 1`` executes the kernel that many times per dispatch
     (timings_ms is per-execution): use it when per-call dispatch overhead
     rivals the kernel (relayed dev rigs: ~30 ms/call; or small shapes),
-    otherwise the sweep ranks dispatch noise, not tiles."""
+    otherwise the sweep ranks dispatch noise, not tiles.
+    ``kernel`` selects which fused kernel to time: 'euclidean' (also
+    serves cosine and — at the EXPANDED feature width, with
+    mode='highest' — even-p norm_p) or 'manhattan'."""
     candidates = tuple(candidates) if candidates else DEFAULT_CANDIDATES
     if interpret is None:
         interpret = not supported()
@@ -149,7 +163,7 @@ def autotune_bmu_tiles(
             )
         try:
             ms, first_s = _time_once(
-                x, w, mode, (tn, tj), reps, interpret, int(inner)
+                x, w, mode, (tn, tj), reps, interpret, int(inner), kernel
             )
         except Exception as e:  # VMEM overflow / Mosaic reject: skip
             if verbose:

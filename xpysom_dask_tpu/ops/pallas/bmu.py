@@ -65,7 +65,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bmu_euclidean", "bmu_cosine", "bmu_manhattan", "supported"]
+__all__ = [
+    "bmu_euclidean",
+    "bmu_cosine",
+    "bmu_manhattan",
+    "bmu_norm_p_even",
+    "supported",
+]
 
 _BIG_I32 = np.int32(2**31 - 1)
 
@@ -455,11 +461,6 @@ def bmu_cosine(x, w_flat, *, interpret=False, mode=None, tiles=None):
     return idx, 1.0 - sim
 
 
-# Widest unrolled feature loop for the fused Manhattan BMU (same bound as
-# the matrix kernel in manhattan.py).
-_MANHATTAN_MAX_D = 256
-
-
 def _kernel_manhattan_argmin(
     x_ref, wt_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
 ):
@@ -489,6 +490,8 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
     first-index ties). Codebook padding rows are +inf so they never win."""
     n, d_dim = x.shape
     xy = w_flat.shape[0]
+    if tiles is None:
+        tiles = _env_tiles()  # autotune pin applies here too
     tn_max, tj_max = tiles if tiles is not None else (256, 1024)
     tn = min(tn_max, max(8, -(-n // 8) * 8))
     tj = min(tj_max, max(128, -(-xy // 128) * 128))
