@@ -492,7 +492,9 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
     xy = w_flat.shape[0]
     if tiles is None:
         tiles = _env_tiles()  # autotune pin applies here too
-    tn_max, tj_max = tiles if tiles is not None else (256, 1024)
+    # (512, 1024) measured 14.9 ms vs 15.9 for (256, 1024) at
+    # 16384x16384x64 (batched medians; (512, 2048) ties at 14.8)
+    tn_max, tj_max = tiles if tiles is not None else (512, 1024)
     tn = min(tn_max, max(8, -(-n // 8) * 8))
     tj = min(tj_max, max(128, -(-xy // 128) * 128))
     n_pad = -(-n // tn) * tn
