@@ -26,8 +26,10 @@ distance tile costs ~10 ms; the MXU FLOP floor is ~7 ms. Two consequences:
   ``-2*cross + wsq`` elementwise passes are gone.
 - **The finish is the minimum-pass reduction**: per codebook tile one
   min-reduce + one fused masked-iota reduce, carrying (min, argmin) in
-  (TN, 1) scratch. A 3-elementwise-pass lane-wise running-min variant
-  measured slower (29.0 vs 26.0 ms in bf16 mode).
+  (TN, 1) scratch. Clean batched-median comparison (BASELINE.md): this
+  form 40.5/26.4 ms (packed/bf16) vs 42.2/29.0 for the variadic
+  min-with-index reduce, 5-6 ms over the no-argmin floor — the inherent
+  price of an exact first-index argmin.
 
 Precision: the argmin is sensitive to the TPU's bf16 matmul default (~2%
 flipped winners at fp32-data magnitudes), but full ``Precision.HIGHEST``
