@@ -307,3 +307,19 @@ def test_streaming_inference_memmap(tmp_path):
     assert som.quantization_error(mm) == pytest.approx(
         som.quantization_error(data), rel=1e-6
     )
+
+
+def test_streaming_activation_response_matches_resident():
+    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    rng = np.random.RandomState(7)
+    data = rng.rand(4000, 5).astype(np.float32)
+    som = XPySom(6, 5, 5, sigma=2.0, random_seed=3)
+    som.train(data, 3)
+    som._superbatch_rows = lambda: 1024  # force several blocks
+    np.testing.assert_array_equal(
+        som.activation_response(ArraySource(data)),
+        som.activation_response(data),
+    )
+    assert som.activation_response(data).sum() == len(data)

@@ -834,12 +834,22 @@ class XPySom:
 
     def activation_response(self, data):
         """Counts how many times each neuron wins (reference
-        xpysom.py:819-829)."""
-        data2d = np.atleast_2d(_as_numpy_2d(data))
-        self._check_input_len(data2d)
+        xpysom.py:819-829). Source-like data streams in superbatches —
+        the per-cell counts fold, so out-of-core datasets work like in
+        ``predict``/``quantization_error``."""
         a = np.zeros((self._weights.shape[0], self._weights.shape[1]))
-        flat = self._winner_flat(data2d)
-        np.add.at(a, (flat // self._y, flat % self._y), 1)
+
+        def fold(block):
+            self._check_input_len(block)
+            flat = self._winner_flat(block)
+            np.add.at(a, (flat // self._y, flat % self._y), 1)
+
+        src = self._as_source(data)
+        if src is not None:
+            for block in src.superbatches(self._superbatch_rows()):
+                fold(np.atleast_2d(block))
+            return a
+        fold(np.atleast_2d(_as_numpy_2d(data)))
         return a
 
     def win_map(self, data):
