@@ -102,18 +102,26 @@ def test_autotune_inner_scan_mode():
 
 
 def test_som_autotune_kernel_method(monkeypatch):
-    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu import XPySom, core
 
     monkeypatch.setenv("XPYSOM_BMU_TILES", "")
     monkeypatch.delenv("XPYSOM_BMU_TILES")
+    # the CPU test backend never traces the fused kernel; force the
+    # dispatch so the tuner mechanics run (in interpret mode)
+    monkeypatch.setattr(
+        core, "_pallas_bmu_kind", lambda dist, d, use_pallas=None: "euclidean"
+    )
     som = XPySom(4, 4, 3, n_parallel=64, random_seed=1)
     res = som.autotune_kernel(candidates=[(8, 128)], reps=1, inner=2)
     assert res.tiles == (8, 128)
     assert os.environ["XPYSOM_BMU_TILES"] == "8x128"
+    assert som._bmu_tiles == (8, 128)  # pinned on the instance/spec too
+    assert som._spec.bmu_tiles == (8, 128)
     res2 = som.autotune_kernel(
         apply=False, candidates=[(16, 128)], reps=1, inner=2
     )
     assert os.environ["XPYSOM_BMU_TILES"] == "8x128"  # apply=False: untouched
+    assert som._bmu_tiles == (8, 128)
     assert res2.tiles == (16, 128)
 
 
@@ -123,7 +131,7 @@ def test_som_autotune_kernel_matches_training_shape(monkeypatch):
     grid meshes."""
     import jax
 
-    from xpysom_dask_tpu import XPySom
+    from xpysom_dask_tpu import XPySom, core
     from xpysom_dask_tpu.ops.pallas import autotune as at
 
     seen = {}
@@ -133,6 +141,9 @@ def test_som_autotune_kernel_matches_training_shape(monkeypatch):
         return at.TuneResult((8, 128), {(8, 128): 1.0}, {(8, 128): 0.0})
 
     monkeypatch.setattr("xpysom_dask_tpu.ops.pallas.autotune.autotune_bmu_tiles", spy)
+    monkeypatch.setattr(
+        core, "_pallas_bmu_kind", lambda dist, d, use_pallas=None: "euclidean"
+    )
     som = XPySom(4, 4, 3, n_parallel=4096, random_seed=1)
     som.autotune_kernel(n_samples=1500)  # < n_parallel -> capped + floored
     assert seen["n"] == max(1024, (1504 // 1024) * 1024)  # round8 then floor

@@ -87,6 +87,18 @@ class SomSpec:
 
     compact_support: bool = False
 
+    # Fused-BMU-kernel configuration (first-class config surface, matching
+    # the reference's constructor-kwargs-only config bar — SURVEY §5,
+    # reference xpysom.py:73-161). These are PART OF the hashable spec, so
+    # every jit cache keys on them: switching modes in one process simply
+    # compiles a second executable (no trace-time env staleness).
+    # ``None`` means "resolve from the XPYSOM_* env switches at trace
+    # time" — the legacy behavior, kept for direct core users; ``XPySom``
+    # resolves all three concretely at construction.
+    bmu_precision: Optional[str] = None  # packed|bf16|split3|highest|margin
+    bmu_tiles: Optional[Tuple[int, int]] = None  # (TN, TJ) kernel tiles
+    use_pallas: Optional[bool] = None  # False = plain-XLA BMU formulation
+
     @property
     def xy(self) -> int:
         return self.x * self.y
@@ -110,14 +122,16 @@ def grid_coordinates(x: int, y: int, topology: str):
 
 
 def chunk_data(
-    data: np.ndarray, chunk: int, multiple_of: int = 1
+    data: np.ndarray, chunk: int, multiple_of: int = 1, min_chunks: int = 1
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Pad + reshape ``(N, D)`` data into static-shaped ``(C, chunk, D)``
     chunks and a ``(C, chunk)`` float32 validity mask. ``C`` is rounded up
     to a multiple of ``multiple_of`` (the number of data shards) so the
-    leading axis shards evenly."""
+    leading axis shards evenly; ``min_chunks`` floors it (fully-masked
+    padding chunks — used by the inference shape-bucketing so the chunk
+    COUNT, which is part of the compiled shape, lands on a small ladder)."""
     n, d = data.shape
-    c = max(1, -(-n // chunk))
+    c = max(min_chunks, -(-n // chunk))
     c = -(-c // multiple_of) * multiple_of
     total = c * chunk
     padded = np.zeros((total, d), dtype=np.float32)
@@ -158,18 +172,24 @@ _PALLAS_MAX_D = 2048
 _PALLAS_MANHATTAN_MAX_D = 256
 
 
-def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int):
+def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
     """Which fused Pallas BMU kernel (if any) serves this activation on
     the current backend: 'euclidean' / 'cosine' (augmented-GEMM kernel;
     cosine rides it via the normalized codebook) / 'manhattan' (unrolled
     L1 tile kernel) / None (plain-XLA distance matrix + argmin).
-    Trace-time decision — the env switches are read when the enclosing
-    jit first traces. XPYSOM_TPU_NO_PALLAS=1 forces the XLA formulation
-    (the reference's ``_no_opt`` pattern); wide-feature configs fall back
-    automatically (VMEM/unroll budgets)."""
+
+    ``use_pallas`` is the spec-level switch (``SomSpec.use_pallas`` /
+    the ``XPySom(use_pallas=...)`` constructor kwarg): ``False`` forces
+    the XLA formulation (the reference's ``_no_opt`` pattern,
+    tests.py:24-31), ``True`` commits to the kernel without consulting
+    the env (backend/width budgets still gate — a kernel that cannot
+    compile is never forced), ``None`` preserves the legacy trace-time
+    read of ``XPYSOM_TPU_NO_PALLAS`` for direct core users."""
     import os
 
-    if os.environ.get("XPYSOM_TPU_NO_PALLAS"):
+    if use_pallas is False:
+        return None
+    if use_pallas is None and os.environ.get("XPYSOM_TPU_NO_PALLAS"):
         return None
     try:
         if jax.default_backend() != "tpu":
@@ -193,42 +213,66 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int):
     return None
 
 
-def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq):
+def _bmu_config(spec: Optional["SomSpec"]):
+    """(use_pallas, mode, tiles) for the kernel dispatch. A spec carries
+    them as hashable fields so every jit cache keys on them; ``None``
+    fields (and a ``None`` spec — direct core users) fall through to the
+    kernels' legacy env-at-trace-time reads."""
+    if spec is None:
+        return None, None, None
+    return spec.use_pallas, spec.bmu_precision, spec.bmu_tiles
+
+
+def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
     """Flat BMU indices for one chunk (reference xpysom.py:410-417).
     First-index tie-breaking matches NumPy/CuPy argmin. On TPU the
     euclidean, cosine and manhattan activations run fused Pallas kernels
     (distance tile never leaves VMEM); otherwise distance matrix + argmin
     in XLA. The euclidean kernel is centered by the codebook mean —
     translation-invariant for the argmin, and it shrinks the bf16-split
-    error floor on non-origin-centered data (see bmu_euclidean)."""
-    kind = _pallas_bmu_kind(dist, x.shape[-1])
+    error floor on non-origin-centered data (see bmu_euclidean).
+
+    ``spec`` (optional) supplies the first-class kernel config
+    (``use_pallas`` / ``bmu_precision`` / ``bmu_tiles``); ``dist`` is
+    passed separately because QE/quantization search by euclidean
+    distance regardless of the activation (reference xpysom.py:632-645)
+    while still honoring the SOM's kernel config."""
+    use_pallas, mode, tiles = _bmu_config(spec)
+    kind = _pallas_bmu_kind(dist, x.shape[-1], use_pallas)
     if kind == "euclidean":
         from .ops.pallas.bmu import bmu_euclidean
 
         idx, _ = bmu_euclidean(
-            x, w_flat, w_sq, center=jnp.mean(w_flat, axis=0)
+            x, w_flat, w_sq, center=jnp.mean(w_flat, axis=0),
+            mode=mode, tiles=tiles,
         )
         return idx
     if kind == "cosine":
         from .ops.pallas.bmu import bmu_cosine
 
-        idx, _ = bmu_cosine(x, w_flat)
+        idx, _ = bmu_cosine(x, w_flat, mode=mode, tiles=tiles)
         return idx
     if kind == "manhattan":
         from .ops.pallas.bmu import bmu_manhattan
 
-        idx, _ = bmu_manhattan(x, w_flat)
+        idx, _ = bmu_manhattan(x, w_flat, tiles=tiles)
         return idx
     if kind == "norm_p_even":
         from .ops.pallas.bmu import bmu_norm_p_even
 
-        idx, _ = bmu_norm_p_even(x, w_flat, p=int(dist.kwargs.get("p", 2)))
+        # norm_p's own default is 'highest' (the binomial expansion
+        # cancels catastrophically in reduced precision — see
+        # bmu_norm_p_even); an explicit spec precision overrides it.
+        idx, _ = bmu_norm_p_even(
+            x, w_flat, p=int(dist.kwargs.get("p", 2)),
+            mode=mode if mode is not None else "highest", tiles=tiles,
+        )
         return idx
     d = dist.flat(x, w_flat, w_sq)
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
-def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
+def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec=None):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
 
@@ -247,7 +291,7 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy):
 
     def body(carry, xs):
         x, m = xs
-        bmu = _bmu_chunk(dist, x, w_flat, w_sq)
+        bmu = _bmu_chunk(dist, x, w_flat, w_sq, spec)
         aug = (
             jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
             * m[:, None]
@@ -296,7 +340,7 @@ def make_epoch_step(spec: SomSpec, num_epochs: int, psum_axis: Optional[str] = N
             else None
         )
         eta, sig = _decays(spec, t, num_epochs)
-        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy)
+        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy, spec)
         if psum_axis is not None:
             s = jax.lax.psum(s, psum_axis)
             cnt = jax.lax.psum(cnt, psum_axis)
@@ -323,7 +367,7 @@ def make_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
             if dist.can_cache
             else None
         )
-        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy)
+        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy, spec)
         if mesh is not None:
             s = jax.lax.psum(s, "data")
             cnt = jax.lax.psum(cnt, "data")
@@ -430,7 +474,7 @@ def make_bmu_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
         )
 
         def body(_, x):
-            return None, _bmu_chunk(dist, x, w_flat, w_sq)
+            return None, _bmu_chunk(dist, x, w_flat, w_sq, spec)
 
         _, bmu = jax.lax.scan(body, None, data)
         return bmu
@@ -466,7 +510,7 @@ def make_quantization_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
         def body(carry, xs):
             tot, n = carry
             x, m = xs
-            bmu = _bmu_chunk(eucl, x, w_flat, w_sq)
+            bmu = _bmu_chunk(eucl, x, w_flat, w_sq, spec)
             err = jnp.linalg.norm(x - w_flat[bmu], axis=1)
             return (tot + jnp.sum(err * m), n + jnp.sum(m)), None
 

@@ -24,6 +24,7 @@ What changed underneath:
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import Counter, defaultdict
 from warnings import warn
 
@@ -47,6 +48,7 @@ __all__ = ["XPySom"]
 
 _RECT_NEIGS = ("gaussian", "mexican_hat", "bubble", "triangle")
 _HEX_NEIGS = ("gaussian", "mexican_hat", "bubble")
+_BMU_MODES = ("packed", "bf16", "split3", "highest")
 
 
 def _as_numpy_2d(data) -> np.ndarray:
@@ -85,6 +87,9 @@ class XPySom:
         use_dask=False,
         dask_chunks="auto",
         mesh=None,
+        bmu_precision=None,
+        bmu_tiles=None,
+        use_pallas=None,
     ):
         """Initializes a Self Organizing Map.
 
@@ -94,6 +99,28 @@ class XPySom:
         mesh : None | 'auto' | int | jax.sharding.Mesh (default=None)
             Data-parallel device mesh. 'auto' uses every local device;
             an int uses that many; a Mesh must carry a 'data' axis.
+
+        bmu_precision : str (default: 'packed'; 'highest' for even-p
+            norm_p activations)
+            Numerical mode of the fused BMU-search kernel:
+            'packed' (3-term bf16-split GEMM, measured exact argmin),
+            'bf16' (single-pass, ~1.6x faster, ~1.5-2% flipped winners),
+            'split3', 'highest' (exact f32, 6 MXU passes). Part of the
+            compiled spec — switching modes compiles a second executable,
+            never silently reuses a stale one.
+
+        bmu_tiles : (TN, TJ) tuple (default: measured per-width defaults)
+            Kernel tile override (TN multiple of 8, TJ of 128); see
+            ``autotune_kernel`` for on-device selection.
+
+        use_pallas : bool (default True on TPU)
+            False forces the plain-XLA BMU formulation (the reference's
+            ``_no_opt`` testing pattern, tests.py:24-31).
+
+        Each of the three defaults can be overridden by the env switches
+        ``XPYSOM_BMU_PRECISION`` / ``XPYSOM_BMU_TILES`` /
+        ``XPYSOM_TPU_NO_PALLAS``, read ONCE here at construction;
+        explicit constructor arguments always win.
 
         Accepted for source compatibility and ignored: ``xp`` (the backend
         is always XLA), ``dask_chunks``. ``use_dask=True`` maps to
@@ -164,23 +191,58 @@ class XPySom:
         # distances.py:172-175).
         self._activation_distance_name = activation_distance
         self._activation_distance_kwargs = dict(activation_distance_kwargs)
-        DistanceFunction(activation_distance, self._activation_distance_kwargs)
+        dist_obj = DistanceFunction(activation_distance, self._activation_distance_kwargs)
+
+        # First-class kernel config, resolved HERE exactly once:
+        # explicit kwarg > env switch (construction-time read) > default.
+        # The resolved values ride the hashable SomSpec so jit caches key
+        # on them — the reference's constructor-kwargs-with-ValueErrors
+        # config bar (xpysom.py:73-161) with no trace-time env staleness.
+        if use_pallas is None:
+            use_pallas = not os.environ.get("XPYSOM_TPU_NO_PALLAS")
+        self._use_pallas = bool(use_pallas)
+
+        if bmu_precision is None:
+            bmu_precision = os.environ.get("XPYSOM_BMU_PRECISION", "").lower() or None
+        if bmu_precision is None:
+            # norm_p's binomial-expansion kernel cancels catastrophically
+            # below exact precision (see ops.pallas.bmu.bmu_norm_p_even)
+            bmu_precision = "highest" if activation_distance == "norm_p" else "packed"
+        bmu_precision = str(bmu_precision).lower()
+        if bmu_precision not in _BMU_MODES:
+            msg = "%s not supported. BMU precisions available: %s"
+            raise ValueError(msg % (bmu_precision, ", ".join(_BMU_MODES)))
+        self._bmu_precision = bmu_precision
+
+        if bmu_tiles is None:
+            from ..ops.pallas.bmu import _env_tiles
+
+            bmu_tiles = _env_tiles()
+        else:
+            try:
+                tn, tj = (int(v) for v in bmu_tiles)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"bmu_tiles={bmu_tiles!r} invalid: expected a (TN, TJ) pair"
+                )
+            if tn <= 0 or tj <= 0 or tn % 8 or tj % 128:
+                raise ValueError(
+                    f"bmu_tiles={bmu_tiles!r} invalid: TN must be a positive "
+                    "multiple of 8 and TJ of 128"
+                )
+            bmu_tiles = (tn, tj)
+        self._bmu_tiles = bmu_tiles  # (TN, TJ) or None = measured defaults
 
         # The fused-kernel chunk default (16384) is only safe on paths
         # that never materialize the (chunk, XY) distance matrix — ask the
         # kernel dispatch itself (constructor-time read of the same gates
-        # training traces: backend, activation, feature width, env), so
-        # e.g. wide-feature or XPYSOM_TPU_NO_PALLAS configs keep the
+        # training traces: backend, activation, feature width, config), so
+        # e.g. wide-feature or use_pallas=False configs keep the
         # budgeted default while every fused activation gets big chunks.
         self._n_parallel_explicit = n_parallel != 0
         if n_parallel == 0:
             fused = (
-                core._pallas_bmu_kind(
-                    DistanceFunction(
-                        activation_distance, self._activation_distance_kwargs
-                    ),
-                    input_len,
-                )
+                core._pallas_bmu_kind(dist_obj, input_len, self._use_pallas)
                 is not None
             )
             n_parallel = default_n_parallel(x * y, fused=fused)
@@ -208,6 +270,9 @@ class XPySom:
             distance=self._activation_distance_name,
             distance_kwargs=tuple(sorted(self._activation_distance_kwargs.items())),
             compact_support=bool(self.compact_support),
+            bmu_precision=self._bmu_precision,
+            bmu_tiles=self._bmu_tiles,
+            use_pallas=self._use_pallas,
         )
 
     def _is_grid_mesh(self) -> bool:
@@ -237,7 +302,11 @@ class XPySom:
             self._n_parallel, default_n_parallel(self._x * self._y, fused=False)
         )
 
-    def _chunked(self, data2d: np.ndarray, chunk: int = None):
+    # Inference chunk-size ladder: geometric rungs (×8) bound the set of
+    # compiled shapes across arbitrary call sizes — see _chunked(bucket=).
+    _INFER_RUNGS = (8, 64, 512)
+
+    def _chunked(self, data2d: np.ndarray, chunk: int = None, bucket: bool = False):
         """Pad + chunk host data and place it on device(s).
 
         Chunk sizes are aligned to the fused kernel's sample tile (1024)
@@ -245,12 +314,41 @@ class XPySom:
         per scan step, which was measured to blow Mosaic/XLA compile time
         from ~1.5 s to >100 s on some shapes. Alignment rounds DOWN so a
         user-specified ``n_parallel`` (a memory budget, reference
-        xpysom.py:131-137) is never exceeded."""
+        xpysom.py:131-137) is never exceeded.
+
+        ``bucket=True`` (the INFERENCE paths — winner/predict/QE/TE) snaps
+        the padded shape onto a small ladder so repeated calls with
+        varying batch sizes reuse executables instead of retracing per
+        distinct length (the reference paid no compile step, so this cost
+        class must stay bounded): the chunk rounds up to the next rung of
+        ``_INFER_RUNGS`` (then the cap), and the chunk COUNT rounds up to
+        a power of two with fully-masked padding chunks. Distinct
+        compiled shapes across ANY call sequence ≤ len(rungs)+1 ladder ×
+        log₂(max C) — a handful. Training never buckets (one dataset →
+        one trace; padding there would cost every epoch)."""
         n = data2d.shape[0]
-        chunk = min(chunk or self._n_parallel, round_up(max(n, 1), 8))
-        if chunk > 1024:
-            chunk = max(1024, (chunk // 1024) * 1024)
-        chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=self._n_shards())
+        min_chunks = 1
+        if bucket:
+            # budget cap only (do NOT shrink to this call's n — that is
+            # exactly the per-length retrace this path exists to avoid)
+            cap = chunk or self._n_parallel
+            cap = (
+                max(1024, (cap // 1024) * 1024)
+                if cap > 1024
+                else max(8, (cap // 8) * 8)
+            )
+            chunk = next(
+                (r for r in self._INFER_RUNGS if n <= r <= cap), cap
+            )
+            c = max(1, -(-n // chunk))
+            min_chunks = 1 << (c - 1).bit_length()  # next power of two
+        else:
+            chunk = min(chunk or self._n_parallel, round_up(max(n, 1), 8))
+            if chunk > 1024:
+                chunk = max(1024, (chunk // 1024) * 1024)
+        chunks, mask, _ = chunk_data(
+            data2d, chunk, multiple_of=self._n_shards(), min_chunks=min_chunks
+        )
         if self._mesh is not None:
             sh = data_sharding(self._mesh)
             return jax.device_put(chunks, sh), jax.device_put(mask, sh), n
@@ -326,15 +424,33 @@ class XPySom:
         dataset; pass ``n_samples=len(data)`` when the dataset is SMALLER
         than ``n_parallel``, since then the chunk shrinks to it) and the
         per-model-shard node count on grid meshes. With ``apply=True``,
-        pins the winner via ``XPYSOM_BMU_TILES`` for kernels traced
-        afterwards (call before ``train``). Returns the
-        :class:`~xpysom_dask_tpu.ops.pallas.autotune.TuneResult`.
-        TPU-only tuning; elsewhere it runs mechanically but timings are
-        not meaningful. Extra kwargs pass through to
-        ``autotune_bmu_tiles`` (``candidates=``, ``reps=``, ``inner=``,
-        ``mode=``...)."""
+        pins the winner on THIS instance (``bmu_tiles`` in the compiled
+        spec — jit caches key on it, so it takes effect on the next call
+        even after earlier traces) and exports ``XPYSOM_BMU_TILES`` for
+        direct-core users. Returns the
+        :class:`~xpysom_dask_tpu.ops.pallas.autotune.TuneResult`, or
+        ``None`` (with a warning) when this SOM would not trace a fused
+        kernel at all (non-TPU backend, ``use_pallas=False``, or a
+        feature width past the kernel budgets) — tuning the kernel the
+        XLA path never runs would waste minutes of compiles.
+        Extra kwargs pass through to ``autotune_bmu_tiles``
+        (``candidates=``, ``reps=``, ``inner=``, ``mode=``...)."""
         from ..ops.pallas.autotune import autotune_bmu_tiles
 
+        # tune the kernel + feature width + mode TRAINING actually traces
+        # for this activation (core._pallas_bmu_kind): manhattan has its
+        # own kernel; even-p norm_p rides the euclidean kernel at the
+        # EXPANDED width in 'highest' mode; cosine matches euclidean dims
+        kind = core._pallas_bmu_kind(
+            self._spec.distance_fn(), self._input_len, self._use_pallas
+        )
+        if kind is None:
+            warn(
+                "autotune_kernel: this SOM dispatches to the plain-XLA BMU "
+                "path (no fused kernel on this backend/config) — nothing "
+                "to tune; returning None"
+            )
+            return None
         # mirror _chunked's sizing: cap at the data size, then floor to
         # the kernel sample tile
         chunk = self._n_parallel
@@ -347,28 +463,24 @@ class XPySom:
             from ..parallel.grid_sharded import MODEL_AXIS
 
             xy = max(xy // int(self._mesh.shape[MODEL_AXIS]), 1)
-        # tune the kernel + feature width + mode TRAINING actually traces
-        # for this activation (core._pallas_bmu_kind): manhattan has its
-        # own kernel; even-p norm_p rides the euclidean kernel at the
-        # EXPANDED width in 'highest' mode; cosine matches euclidean dims
-        kind = core._pallas_bmu_kind(
-            self._spec.distance_fn(), self._input_len
-        )
         d_eff = self._input_len
         if kind == "manhattan":
             kwargs.setdefault("kernel", "manhattan")
         elif kind == "norm_p_even":
             p = int(self._activation_distance_kwargs.get("p", 2))
             d_eff = self._input_len * (p + 1)
-            kwargs.setdefault("mode", "highest")
+        kwargs.setdefault("mode", self._bmu_precision)
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead
-        return autotune_bmu_tiles(
+        res = autotune_bmu_tiles(
             n=chunk,
             xy=xy,
             d=d_eff,
             apply=apply,
             **kwargs,
         )
+        if apply:
+            self._bmu_tiles = tuple(res.tiles)
+        return res
 
     def get_euclidean_coordinates(self):
         """Euclidean-plane positions of the neurons as two meshgrids
@@ -417,7 +529,7 @@ class XPySom:
 
     def _winner_flat(self, data2d: np.ndarray, spec: SomSpec = None) -> np.ndarray:
         spec = spec or self._spec
-        chunks, _, n = self._chunked(data2d)
+        chunks, _, n = self._chunked(data2d, bucket=True)
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import make_bmu_fn_2d
 
@@ -681,14 +793,19 @@ class XPySom:
             for block in src.superbatches(self._superbatch_rows()):
                 block = np.atleast_2d(block)
                 self._check_input_len(block)
-                chunks, mask, _ = self._chunked(block)
+                chunks, mask, _ = self._chunked(block, bucket=True)
                 t, c = fn(w, chunks, mask)
                 tot += float(t)
                 n += float(c)
+            if n == 0:
+                # empty/exhausted one-shot source: mirror predict's
+                # empty-array handling — a mean over nothing is NaN
+                warn("quantization_error: source yielded no rows.")
+                return float("nan")
             return tot / n
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
-        chunks, mask, _ = self._chunked(data2d)
+        chunks, mask, _ = self._chunked(data2d, bucket=True)
         tot, n = self._qe_fn()(self._device_weights(), chunks, mask)
         return float(tot) / float(n)
 
@@ -706,6 +823,9 @@ class XPySom:
                 e, c = self._te_counts(np.atleast_2d(block))
                 errs += e
                 n += c
+            if n == 0:
+                warn("topographic_error: source yielded no rows.")
+                return float("nan")
             return errs / n
         data2d = np.atleast_2d(_as_numpy_2d(data))
         e, c = self._te_counts(data2d)
@@ -724,7 +844,9 @@ class XPySom:
             return np.nan, 1.0
         # top-2 selection materializes (chunk, XY/shards) distances —
         # budget the chunk independently of the fused training default
-        chunks, mask, _ = self._chunked(data2d, chunk=self._matrix_chunk)
+        chunks, mask, _ = self._chunked(
+            data2d, chunk=self._matrix_chunk, bucket=True
+        )
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import (
                 MODEL_AXIS,
@@ -919,6 +1041,13 @@ class XPySom:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        # pickles from before the first-class kernel config get defaults
+        self.__dict__.setdefault("_use_pallas", True)
+        self.__dict__.setdefault(
+            "_bmu_precision",
+            "highest" if self._activation_distance_name == "norm_p" else "packed",
+        )
+        self.__dict__.setdefault("_bmu_tiles", None)
         try:
             self._mesh = resolve_mesh(self._mesh_arg)
         except Exception:

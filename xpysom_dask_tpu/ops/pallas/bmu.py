@@ -246,8 +246,11 @@ def supported() -> bool:
 
 
 def _mode() -> str:
-    """Resolved at trace time of the enclosing jit: later env changes in
-    the same process do not retrace (documented in docs/API.md)."""
+    """Legacy fallback for DIRECT kernel users who pass ``mode=None``:
+    resolved at trace time of the enclosing jit, so later env changes in
+    the same process do not retrace. ``XPySom`` never reaches this — it
+    resolves ``bmu_precision`` once at construction into the hashable
+    spec (docs/API.md "Kernel configuration")."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
     if m in ("highest", "split3", "packed", "bf16"):
         return m
@@ -262,9 +265,10 @@ def _mode() -> str:
 
 
 def _env_tiles():
-    """Optional ``XPYSOM_BMU_TILES=TNxTJ`` override (e.g. from
-    ops.pallas.autotune's ``apply=True``). Read at trace time, same
-    process-cache trap as ``XPYSOM_BMU_PRECISION`` (docs/API.md)."""
+    """Optional ``XPYSOM_BMU_TILES=TNxTJ`` override. For DIRECT kernel
+    users passing ``tiles=None`` this is read at trace time (legacy
+    process-cache behavior); ``XPySom`` reads it once at construction
+    into ``bmu_tiles`` (docs/API.md "Kernel configuration")."""
     s = os.environ.get("XPYSOM_BMU_TILES", "")
     if not s:
         return None

@@ -105,7 +105,7 @@ def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
     distances that never use it)."""
     from ..core import _pallas_bmu_kind
 
-    kind = _pallas_bmu_kind(dist, spec.input_len)
+    kind = _pallas_bmu_kind(dist, spec.input_len, spec.use_pallas)
     if kind in ("euclidean", "norm_p_even"):
         # a SHARD-INVARIANT center keeps per-shard min values comparable
         return _global_center(spec, w_flat_local), None
@@ -119,36 +119,41 @@ def _center_and_wsq(spec: SomSpec, dist: DistanceFunction, w_flat_local):
     return None, w_sq
 
 
-def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None):
+def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None, spec=None):
     """Per-shard (min value, local argmin) — via the fused Pallas kernels
     on TPU (euclidean/cosine/manhattan), else the XLA distance matrix.
     Min values must be comparable ACROSS shards for the pmin merge:
     ``center`` (replicated) shifts the euclidean values identically
     everywhere, the cosine value 1−sim divides by the shard-invariant
-    ``‖x‖``, and the L1 value is absolute."""
-    from ..core import _pallas_bmu_kind
+    ``‖x‖``, and the L1 value is absolute. ``spec`` supplies the
+    first-class kernel config (core._bmu_config)."""
+    from ..core import _bmu_config, _pallas_bmu_kind
 
-    kind = _pallas_bmu_kind(dist, x.shape[-1])
+    use_pallas, mode, tiles = _bmu_config(spec)
+    kind = _pallas_bmu_kind(dist, x.shape[-1], use_pallas)
     if kind == "euclidean":
         from ..ops.pallas.bmu import bmu_euclidean
 
-        idx, val = bmu_euclidean(x, w_local, w_sq, center=center)
+        idx, val = bmu_euclidean(
+            x, w_local, w_sq, center=center, mode=mode, tiles=tiles
+        )
         return val, idx
     if kind == "cosine":
         from ..ops.pallas.bmu import bmu_cosine
 
-        idx, val = bmu_cosine(x, w_local)
+        idx, val = bmu_cosine(x, w_local, mode=mode, tiles=tiles)
         return val, idx
     if kind == "manhattan":
         from ..ops.pallas.bmu import bmu_manhattan
 
-        idx, val = bmu_manhattan(x, w_local)
+        idx, val = bmu_manhattan(x, w_local, tiles=tiles)
         return val, idx
     if kind == "norm_p_even":
         from ..ops.pallas.bmu import bmu_norm_p_even
 
         idx, val = bmu_norm_p_even(
-            x, w_local, p=int(dist.kwargs.get("p", 2)), center=center
+            x, w_local, p=int(dist.kwargs.get("p", 2)), center=center,
+            mode=mode if mode is not None else "highest", tiles=tiles,
         )
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
@@ -175,7 +180,7 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
 
     def body(carry, xs):
         x, m = xs
-        lmin, larg = _local_min_arg(dist, x, w_local, w_sq, center)
+        lmin, larg = _local_min_arg(dist, x, w_local, w_sq, center, spec)
         bmu, _ = _global_bmu(lmin, larg, offset)
         mine = (bmu >= offset) & (bmu < offset + rows)
         local_idx = jnp.clip(bmu - offset, 0, rows - 1)
@@ -329,7 +334,7 @@ def make_bmu_fn_2d(spec: SomSpec, mesh: Mesh):
         center, w_sq = _center_and_wsq(spec, dist, w_flat_local)
 
         def body(_, x):
-            lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq, center)
+            lmin, larg = _local_min_arg(dist, x, w_flat_local, w_sq, center, spec)
             bmu, _ = _global_bmu(lmin, larg, offset)
             return None, bmu.astype(jnp.int32)
 
@@ -446,7 +451,7 @@ def make_quantization_stats_fn_2d(spec: SomSpec, mesh: Mesh):
         def body(carry, xs):
             tot, n = carry
             x, m = xs
-            lmin, larg = _local_min_arg(eucl, x, w_flat_local, w_sq, center)
+            lmin, larg = _local_min_arg(eucl, x, w_flat_local, w_sq, center, spec)
             bmu, _ = _global_bmu(lmin, larg, offset)
             mine = (bmu >= offset) & (bmu < offset + rows)
             local_idx = jnp.clip(bmu - offset, 0, rows - 1)

@@ -59,7 +59,14 @@ def _config_dict(som):
         "activation_distance": som._activation_distance_name,
         "activation_distance_kwargs": som._activation_distance_kwargs,
         "compact_support": bool(som.compact_support),
-        "n_parallel": int(som._n_parallel),
+        # 0 = auto-sized: persisting the RESOLVED value would make the
+        # loader treat it as user-explicit and drop the _matrix_chunk
+        # budget on matrix-materializing paths (chunk·XY·4-byte
+        # transients — ~17 GB at XY=512² with the fused default)
+        "n_parallel": int(som._n_parallel) if som._n_parallel_explicit else 0,
+        "bmu_precision": som._bmu_precision,
+        "bmu_tiles": list(som._bmu_tiles) if som._bmu_tiles else None,
+        "use_pallas": bool(som._use_pallas),
     }
 
 
@@ -126,6 +133,11 @@ def load_checkpoint(path, *, mesh=None):
             compact_support=cfg["compact_support"],
             n_parallel=cfg["n_parallel"],
             mesh=mesh,
+            # absent in format-1 checkpoints written before the
+            # first-class kernel config: fall back to fresh resolution
+            bmu_precision=cfg.get("bmu_precision"),
+            bmu_tiles=tuple(cfg["bmu_tiles"]) if cfg.get("bmu_tiles") else None,
+            use_pallas=cfg.get("use_pallas"),
         )
         w = np.asarray(z["weights"])
         expect = (cfg["x"], cfg["y"], cfg["input_len"])
