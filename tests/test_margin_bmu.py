@@ -1,0 +1,162 @@
+"""Margin-gated two-pass BMU (mode='margin', VERDICT r2 #1) in
+interpreter mode: a bf16 first pass whose finish carries the top-2
+margin, then an exact packed re-rank of only the ambiguous rows — the
+argmin must be EXACT (float64 agreement incl. first-index ties) for any
+input, because the rescue falls back to the full packed kernel whenever
+its static buffer would overflow. Throughput is measured on-chip
+(tests_tpu / BASELINE.md); here we pin correctness of every path."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+
+
+def _ref_argmin(x, w):
+    d = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    return d.argmin(1), d.min(1)
+
+
+@pytest.mark.parametrize(
+    "n,xy,d",
+    [
+        (300, 333, 7),  # ragged everything
+        (256, 2048, 64),  # exact tile fit
+        (8, 25, 1),  # tiny
+        (1000, 4100, 16),  # codebook just over one lane tile
+    ],
+)
+def test_margin_matches_float64(n, xy, d):
+    rng = np.random.RandomState(0)
+    x = rng.rand(n, d).astype(np.float32)
+    w = rng.rand(xy, d).astype(np.float32)
+    idx, val = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin"
+    )
+    ref_i, ref_v = _ref_argmin(x, w)
+    np.testing.assert_array_equal(np.asarray(idx), ref_i)
+    # margin mode recomputes the winner value exactly in f32
+    np.testing.assert_allclose(np.asarray(val), ref_v, rtol=1e-5, atol=1e-5)
+
+
+def test_margin_near_ties_exact():
+    """Adversarial near-ties in the band the margin gate exists for:
+    top-2 margins ABOVE f32 resolution (so an exact-f32 kernel resolves
+    them — that is the fidelity contract) but far BELOW the bf16 pass's
+    error envelope (so the raw bf16 pass flips them). The margin rescue
+    must deliver the packed (measured-exact) answer; ties finer than f32
+    itself are out of scope for every f32-class kernel."""
+    rng = np.random.RandomState(1)
+    d = 16
+    base = rng.rand(64, d).astype(np.float32)
+    # clusters of 4 rows perturbed by ~2e-3: float64 margins land around
+    # 1e-4..1e-2, versus a bf16 cross-term error envelope of ~0.2
+    w = np.repeat(base, 4, axis=0) + 2e-3 * rng.randn(256, d).astype(np.float32)
+    x = (base[rng.randint(64, size=200)] + 2e-3 * rng.randn(200, d)).astype(
+        np.float32
+    )
+    ref_i, _ = _ref_argmin(x, w)
+    idx_p, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="packed"
+    )
+    idx_m, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin"
+    )
+    # margin == packed EXACTLY (the fidelity bar: this fixture's finest
+    # margins sit below even f32's resolution, where no f32-class kernel
+    # — packed included — can track float64; the contract is that the
+    # bf16 shortcut never costs fidelity relative to packed)
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_p))
+    # and the raw bf16 pass is demonstrably much worse than both
+    idx_b, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="bf16"
+    )
+    flips_b = (np.asarray(idx_b) != ref_i).sum()
+    flips_m = (np.asarray(idx_m) != ref_i).sum()
+    assert flips_b > 4 * flips_m, (flips_b, flips_m)
+
+
+def test_margin_first_index_ties():
+    x = np.array([[1.0, 2.0], [0.0, 0.0]], dtype=np.float32)
+    w = np.tile(np.array([[1.0, 2.0]], dtype=np.float32), (7, 1))
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin"
+    )
+    np.testing.assert_array_equal(np.asarray(idx), [0, 0])
+
+
+def test_margin_overflow_falls_back_exact():
+    """Every row ambiguous (duplicated codebook) with a rescue buffer too
+    small to hold them: the cond fallback must deliver the full packed
+    result, not a truncated rescue."""
+    rng = np.random.RandomState(2)
+    d = 8
+    w_half = rng.rand(32, d).astype(np.float32)
+    w = np.concatenate([w_half, w_half])  # every node duplicated
+    x = rng.rand(128, d).astype(np.float32)
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin",
+        rescue_frac=0.01,  # capacity 8 << 128 suspects
+    )
+    ref_i, _ = _ref_argmin(x, w)
+    np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+
+def test_margin_with_center():
+    rng = np.random.RandomState(3)
+    x = (rng.rand(100, 8) * 3 + 50).astype(np.float32)  # offset data
+    w = (rng.rand(64, 8) * 3 + 50).astype(np.float32)
+    c = jnp.asarray(w.mean(0))
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), center=c, interpret=True, mode="margin"
+    )
+    ref_i, _ = _ref_argmin(x, w)
+    np.testing.assert_array_equal(np.asarray(idx), ref_i)
+
+
+def test_margin_cosine():
+    rng = np.random.RandomState(4)
+    x = rng.randn(90, 12).astype(np.float32)
+    w = rng.randn(70, 12).astype(np.float32)
+    idx, dist = pl_bmu.bmu_cosine(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin"
+    )
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    wn = w / np.linalg.norm(w, axis=1, keepdims=True)
+    ref = (1 - xn.astype(np.float64) @ wn.T.astype(np.float64)).argmin(1)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_margin_rejected_for_norm_p():
+    with pytest.raises(ValueError, match="margin"):
+        pl_bmu.bmu_norm_p_even(
+            jnp.zeros((8, 4)), jnp.zeros((16, 4)), p=4,
+            interpret=True, mode="margin",
+        )
+    from xpysom_dask_tpu import XPySom
+
+    with pytest.raises(ValueError, match="margin"):
+        XPySom(
+            4, 4, 8, activation_distance="norm_p",
+            activation_distance_kwargs={"p": 4}, bmu_precision="margin",
+        )
+
+
+def test_margin_constructor_accepted():
+    from xpysom_dask_tpu import XPySom
+
+    som = XPySom(4, 4, 8, bmu_precision="margin")
+    assert som._spec.bmu_precision == "margin"
+    # CPU backend: trains via the XLA path regardless (use_pallas gates it)
+    som.train(np.random.RandomState(0).rand(64, 8), 2)
+    assert np.isfinite(som.get_weights()).all()
+
+
+def test_unknown_mode_raises():
+    with pytest.raises(ValueError, match="mode="):
+        pl_bmu.bmu_euclidean(
+            jnp.zeros((8, 4)), jnp.zeros((16, 4)), interpret=True, mode="f16"
+        )

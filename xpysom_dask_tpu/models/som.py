@@ -48,7 +48,7 @@ __all__ = ["XPySom"]
 
 _RECT_NEIGS = ("gaussian", "mexican_hat", "bubble", "triangle")
 _HEX_NEIGS = ("gaussian", "mexican_hat", "bubble")
-_BMU_MODES = ("packed", "bf16", "split3", "highest")
+_BMU_MODES = ("packed", "bf16", "split3", "highest", "margin")
 
 
 def _as_numpy_2d(data) -> np.ndarray:
@@ -212,6 +212,12 @@ class XPySom:
         if bmu_precision not in _BMU_MODES:
             msg = "%s not supported. BMU precisions available: %s"
             raise ValueError(msg % (bmu_precision, ", ".join(_BMU_MODES)))
+        if bmu_precision == "margin" and activation_distance == "norm_p":
+            raise ValueError(
+                "bmu_precision='margin' is not supported with norm_p "
+                "activations (the expansion's cancellation defeats the "
+                "margin gate); use 'highest'"
+            )
         self._bmu_precision = bmu_precision
 
         if bmu_tiles is None:

@@ -207,6 +207,60 @@ def _kernel_gemm_argmin(
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
+def _kernel_gemm_top2(
+    a_ref,
+    w_ref,
+    idx_ref,
+    val_ref,
+    val2_ref,
+    best_ref,
+    bestidx_ref,
+    best2_ref,
+):
+    """Augmented-GEMM kernel (bf16 single pass, like ``_kernel_gemm_argmin``
+    with mode='bf16') whose finish ALSO carries the second-best distance —
+    the margin ``val2 − val`` is what gates the exact re-rank in
+    ``mode='margin'`` (see bmu_euclidean). Top-2 merge across tiles:
+    ``m2' = min(m2, t2, max(m1, t1))``; within a tile the second-best
+    excludes the first winning LANE (not the winning value), so duplicate
+    minima yield margin 0 and are always re-ranked — first-index
+    tie-breaking survives the two-pass scheme."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
+        best2_ref[:] = jnp.full_like(best2_ref, jnp.inf)
+
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    tile_arg = jnp.min(
+        jnp.where(d == tile_min, lane, _BIG_I32), axis=1, keepdims=True
+    )
+    # second-best within the tile: mask out only the winning lane, so an
+    # equal-valued duplicate lane keeps tile_min2 == tile_min (margin 0)
+    tile_min2 = jnp.min(
+        jnp.where(lane == tile_arg, jnp.inf, d), axis=1, keepdims=True
+    )
+    tile_arg = tile_arg + j * d.shape[1]
+
+    better = tile_min < best_ref[:]
+    # the loser of the min contest is a second-best candidate
+    cand2 = jnp.where(better, best_ref[:], tile_min)
+    best2_ref[:] = jnp.minimum(jnp.minimum(best2_ref[:], tile_min2), cand2)
+    best_ref[:] = jnp.where(better, tile_min, best_ref[:])
+    bestidx_ref[:] = jnp.where(better, tile_arg, bestidx_ref[:])
+
+    @pl.when(j == nj - 1)
+    def _():
+        idx_ref[:] = bestidx_ref[:]
+        val_ref[:] = best_ref[:]
+        val2_ref[:] = best2_ref[:]
+
+
 def _kernel_highest(
     x_ref, wt_ref, wsq_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
 ):
@@ -226,6 +280,63 @@ def _kernel_highest(
     )
     d = -2.0 * cross + wsq_ref[:]
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
+
+
+# Margin-gated rescue bound (mode='margin'): the bf16 pass's distance
+# error is ≤ (2u + u² + Kε_f32)·Σ_d|x_d||2w_d| with u = 2⁻⁸ (bf16 unit
+# roundoff; the ‖w‖² operand is an exact 3-term split, so only the cross
+# term errs). A winner flip needs err(winner) + err(runner-up) ≥ margin,
+# so rows with margin ≤ 2·2.1u·S are ambiguous; 6u (≈1.4× slack) is the
+# shipped gate. Validated against float64 on-chip (tests_tpu).
+_MARGIN_BOUND = 6.0 * 2.0**-8
+
+
+def _margin_rescue(
+    idx_v, val_v, val2_v, x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac
+):
+    """Exact re-rank of the bf16 top-2 pass's ambiguous rows.
+
+    Rows whose margin ``val2 − val`` falls inside the bf16 error bound
+    are compacted (cumsum positions — no sort) into a STATIC-capacity
+    buffer (``rescue_frac`` of the padded rows) and re-ranked by the
+    packed (measured-exact) kernel against the full codebook; should the
+    buffer ever overflow, a ``lax.cond`` falls back to the packed kernel
+    on ALL rows — exactness is unconditional, the capacity only bounds
+    the fast path. The returned ``val`` is recomputed exactly in f32 for
+    EVERY row (one O(N·D) gather+dot), so per-shard minima stay
+    comparable in grid-mesh pmin merges (parallel/grid_sharded.py)."""
+    n_pad = x_p.shape[0]
+    xy = w_flat.shape[0]
+    # per-row error envelope S = Σ_d |x_d| · max_j |2w_dj|
+    wmax2 = jnp.max(jnp.abs(w2t), axis=1)  # (D,)
+    eps = _MARGIN_BOUND * (jnp.abs(x_p) @ wmax2)  # (n_pad,)
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    suspect = (val2_v - val_v <= eps) & (rows < n)
+    cnt = jnp.sum(suspect.astype(jnp.int32))
+
+    k_cap = min(n_pad, max(8, -(-int(n_pad * rescue_frac) // 8) * 8))
+    pos = jnp.cumsum(suspect.astype(jnp.int32)) - 1
+    dest = jnp.where(suspect & (pos < k_cap), pos, k_cap)
+    buf = jnp.zeros((k_cap,), jnp.int32).at[dest].set(rows, mode="drop")
+    idx_sus, _ = bmu_euclidean(
+        x_p[buf], w_flat, w_sq.reshape(xy, 1),
+        interpret=interpret, mode="packed", tiles=tiles,
+    )
+    valid = jnp.arange(k_cap) < cnt
+    patched = idx_v.at[buf].set(jnp.where(valid, idx_sus, idx_v[buf]))
+
+    def _full_packed():
+        fi, _ = bmu_euclidean(
+            x_p, w_flat, w_sq.reshape(xy, 1),
+            interpret=interpret, mode="packed", tiles=tiles,
+        )
+        return fi
+
+    idx_final = jax.lax.cond(cnt > k_cap, _full_packed, lambda: patched)
+    # exact f32 winner value (the kernel's val is bf16-pass accuracy)
+    w_sel = w_flat[idx_final]
+    val_exact = -2.0 * jnp.sum(x_p * w_sel, axis=1) + w_sq.reshape(-1)[idx_final]
+    return idx_final[:n], val_exact[:n]
 
 
 def _pad_to(a, size, axis, value):
@@ -252,14 +363,14 @@ def _mode() -> str:
     resolves ``bmu_precision`` once at construction into the hashable
     spec (docs/API.md "Kernel configuration")."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
-    if m in ("highest", "split3", "packed", "bf16"):
+    if m in ("highest", "split3", "packed", "bf16", "margin"):
         return m
     if m:
         import warnings
 
         warnings.warn(
             f"XPYSOM_BMU_PRECISION={m!r} not recognized "
-            "(expected packed|split3|highest|bf16); using 'packed'"
+            "(expected packed|split3|highest|bf16|margin); using 'packed'"
         )
     return "packed"
 
@@ -287,7 +398,10 @@ def _env_tiles():
         return None
 
 
-@partial(jax.jit, static_argnames=("interpret", "mode", "tiles", "finish"))
+@partial(
+    jax.jit,
+    static_argnames=("interpret", "mode", "tiles", "finish", "rescue_frac"),
+)
 def bmu_euclidean(
     x,
     w_flat,
@@ -298,6 +412,7 @@ def bmu_euclidean(
     tiles=None,
     center=None,
     finish="iota",
+    rescue_frac=0.125,
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
@@ -326,6 +441,11 @@ def bmu_euclidean(
     """
     if mode is None:
         mode = _mode()
+    if mode not in ("packed", "bf16", "split3", "highest", "margin"):
+        raise ValueError(
+            f"mode={mode!r} not recognized "
+            "(packed|bf16|split3|highest|margin)"
+        )
     if finish not in ("iota", "argmin", "minonly"):
         raise ValueError(
             f"finish={finish!r} not recognized (iota|argmin|minonly)"
@@ -382,13 +502,15 @@ def bmu_euclidean(
     w_spec = pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
-    if mode in ("packed", "bf16"):
+    if mode in ("packed", "bf16", "margin"):
         # Augmented-GEMM formulation (see _kernel_gemm_argmin): the right
         # operand stacks the (bf16-split) rows of -2·wᵀ with an EXACT
         # 3-term bf16 split of ‖w‖², the left appends matching ones, so
         # the MXU emits the partial distance directly. Codebook padding
         # carries ‖w‖² = 1e38 (a finite +inf stand-in: ±inf splits to NaN)
-        # so padded nodes never win.
+        # so padded nodes never win. 'margin' uses the bf16 single-pass
+        # operands with the top-2 finish, then re-ranks ambiguous rows
+        # exactly (_margin_rescue) — exact argmin near bf16 speed.
         wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
         s1, s2, s3 = _split3_bf16(wsq_big)
         w2t = -2.0 * wt
@@ -398,7 +520,7 @@ def bmu_euclidean(
             wh, wl = _split_bf16(w2t)
             a = jnp.concatenate([xh, xl, xh, ones], axis=1)
             w_aug = jnp.concatenate([wh, wh, wl, s1, s2, s3], axis=0)
-        else:  # bf16: single-pass x·w, exact ‖w‖²
+        else:  # bf16/margin: single-pass x·w, exact ‖w‖²
             a = jnp.concatenate([x_p.astype(jnp.bfloat16), ones], axis=1)
             w_aug = jnp.concatenate(
                 [w2t.astype(jnp.bfloat16), s1, s2, s3], axis=0
@@ -412,6 +534,31 @@ def bmu_euclidean(
         waug_spec = pl.BlockSpec(
             (k_aug, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
         )
+        if mode == "margin":
+            out_spec = pl.BlockSpec(
+                (tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
+            common_m = dict(common)
+            common_m["out_specs"] = [out_spec, out_spec, out_spec]
+            common_m["out_shape"] = [
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            ]
+            common_m["scratch_shapes"] = [
+                pltpu.VMEM((tn, 1), jnp.float32),
+                pltpu.VMEM((tn, 1), jnp.int32),
+                pltpu.VMEM((tn, 1), jnp.float32),
+            ]
+            idx_p, val_p, val2_p = pl.pallas_call(
+                _kernel_gemm_top2,
+                in_specs=[a_spec, waug_spec],
+                **common_m,
+            )(a, w_aug)
+            return _margin_rescue(
+                idx_p[:, 0], val_p[:, 0], val2_p[:, 0],
+                x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac,
+            )
         idx, val = pl.pallas_call(
             partial(_kernel_gemm_argmin, variant=finish),
             in_specs=[a_spec, waug_spec],
@@ -565,6 +712,16 @@ def bmu_norm_p_even(
     codebooks so per-shard min values stay comparable in pmin merges."""
     if p % 2 != 0:
         raise ValueError("p must be even")
+    if mode == "margin":
+        # the margin gate's error envelope S = Σ|φ(x)||ψ(w)| dwarfs the
+        # catastrophically-cancelled distances, so every row would be a
+        # suspect and the fallback would run the packed kernel anyway —
+        # but packed is NOT exact under this cancellation; refuse rather
+        # than silently degrade
+        raise ValueError(
+            "mode='margin' is not supported for the norm_p expansion; "
+            "use 'highest' (the default)"
+        )
     c = (
         jnp.mean(w_flat, axis=0, keepdims=True)
         if center is None
