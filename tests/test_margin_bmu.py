@@ -160,3 +160,35 @@ def test_unknown_mode_raises():
         pl_bmu.bmu_euclidean(
             jnp.zeros((8, 4)), jnp.zeros((16, 4)), interpret=True, mode="f16"
         )
+
+
+# -- manhattan accumulation variants (VERDICT r2 #6) ---------------------------
+
+
+def test_manhattan_accum_variants():
+    rng = np.random.RandomState(5)
+    x = rng.rand(100, 24).astype(np.float32)
+    w = rng.rand(300, 24).astype(np.float32)
+    ref = np.abs(
+        x.astype(np.float64)[:, None, :] - w.astype(np.float64)[None]
+    ).sum(-1).argmin(1)
+    for accum in ("serial", "split2", "split4"):
+        idx, val = pl_bmu.bmu_manhattan(
+            jnp.asarray(x), jnp.asarray(w), interpret=True, accum=accum
+        )
+        np.testing.assert_array_equal(np.asarray(idx), ref, err_msg=accum)
+    # bf16 stream: reduced precision — assert mechanics + bounded error
+    idx_b, val_b = pl_bmu.bmu_manhattan(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, accum="bf16"
+    )
+    d64 = np.abs(
+        x.astype(np.float64)[:, None, :] - w.astype(np.float64)[None]
+    ).sum(-1)
+    picked = d64[np.arange(100), np.asarray(idx_b)]
+    # any bf16 flip lands on a near-tie: picked within the per-row bf16
+    # error envelope of the true min
+    assert (picked - d64.min(1) <= 2 * 2**-8 * (np.abs(x).sum(1) + 24)).all()
+    with pytest.raises(ValueError, match="accum"):
+        pl_bmu.bmu_manhattan(
+            jnp.asarray(x), jnp.asarray(w), interpret=True, accum="int8"
+        )

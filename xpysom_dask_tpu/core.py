@@ -255,7 +255,13 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
     if kind == "manhattan":
         from .ops.pallas.bmu import bmu_manhattan
 
-        idx, _ = bmu_manhattan(x, w_flat, tiles=tiles)
+        # L1 has no split/margin machinery: 'bf16' maps to the reduced-
+        # precision accumulation stream, every other precision to the
+        # exact serial form
+        idx, _ = bmu_manhattan(
+            x, w_flat, tiles=tiles,
+            accum="bf16" if mode == "bf16" else "serial",
+        )
         return idx
     if kind == "norm_p_even":
         from .ops.pallas.bmu import bmu_norm_p_even

@@ -615,11 +615,30 @@ def bmu_cosine(x, w_flat, *, interpret=False, mode=None, tiles=None):
 
 
 def _kernel_manhattan_argmin(
-    x_ref, wt_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
+    x_ref,
+    wt_ref,
+    idx_ref,
+    val_ref,
+    best_ref,
+    bestidx_ref,
+    *,
+    variant="iota",
+    accum="serial",
 ):
     """L1-distance tile (static D unroll, layout-preserving VPU ops, as in
     manhattan.py) folded into the shared running (min, argmin) finish —
-    the (N, XY) distance matrix never reaches HBM."""
+    the (N, XY) distance matrix never reaches HBM.
+
+    ``accum`` selects the accumulation strategy (VERDICT r2 #6 probes —
+    the kernel is VPU-bound, so both the op rate and the accumulator
+    dependency chain are candidates for the limiter):
+    'serial' — the shipped exact form, one f32 chain;
+    'split2'/'split4' — k interleaved f32 accumulators merged at the end
+    (breaks the add dependency chain for ILP; exact up to f32
+    reassociation of non-negative terms);
+    'bf16' — |x−w| computed in bf16 (operands pre-rounded), accumulated
+    in f32: reduced-precision op stream, ~u(|x|+|w|) per-term error —
+    an OPT-IN throughput mode with euclidean-bf16-like flip rates."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -630,17 +649,37 @@ def _kernel_manhattan_argmin(
 
     x = x_ref[:]  # (TN, D)
     wt = wt_ref[:]  # (D, TJ)
-    d = jnp.zeros((x.shape[0], wt.shape[1]), dtype=jnp.float32)
+    if accum == "bf16":
+        xs, ws = x.astype(jnp.bfloat16), wt.astype(jnp.bfloat16)
+        lanes = 4
+    else:
+        xs, ws = x, wt
+        lanes = {"serial": 1, "split2": 2, "split4": 4}[accum]
+    accs = [
+        jnp.zeros((x.shape[0], wt.shape[1]), dtype=jnp.float32)
+        for _ in range(lanes)
+    ]
     for k in range(x.shape[1]):
-        d = d + jnp.abs(x[:, k : k + 1] - wt[k : k + 1, :])
+        t = jnp.abs(xs[:, k : k + 1] - ws[k : k + 1, :])
+        accs[k % lanes] = accs[k % lanes] + t  # bf16 t upcasts to f32
+    d = accs[0]
+    for a in accs[1:]:
+        d = d + a
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
-@partial(jax.jit, static_argnames=("interpret", "tiles"))
-def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
+@partial(jax.jit, static_argnames=("interpret", "tiles", "accum"))
+def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None, accum="serial"):
     """Fused BMU search under the MANHATTAN activation: ``(idx, minval)``
     with ``idx[n] = argmin_j Σ_d |x_nd − w_jd|`` (exact f32 L1, NumPy
-    first-index ties). Codebook padding rows are +inf so they never win."""
+    first-index ties). Codebook padding rows are +inf so they never win.
+    ``accum`` selects the accumulation strategy (serial | split2 |
+    split4 | bf16 — see _kernel_manhattan_argmin; bf16 is the opt-in
+    reduced-precision stream)."""
+    if accum not in ("serial", "split2", "split4", "bf16"):
+        raise ValueError(
+            f"accum={accum!r} not recognized (serial|split2|split4|bf16)"
+        )
     n, d_dim = x.shape
     xy = w_flat.shape[0]
     if tiles is None:
@@ -678,7 +717,7 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None):
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     idx, val = pl.pallas_call(
-        _kernel_manhattan_argmin,
+        partial(_kernel_manhattan_argmin, accum=accum),
         in_specs=[
             pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),

@@ -146,7 +146,10 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None, spec=N
     if kind == "manhattan":
         from ..ops.pallas.bmu import bmu_manhattan
 
-        idx, val = bmu_manhattan(x, w_local, tiles=tiles)
+        idx, val = bmu_manhattan(
+            x, w_local, tiles=tiles,
+            accum="bf16" if mode == "bf16" else "serial",
+        )
         return val, idx
     if kind == "norm_p_even":
         from ..ops.pallas.bmu import bmu_norm_p_even
