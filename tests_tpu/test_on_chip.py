@@ -33,13 +33,63 @@ def _argmin64(x, w):
     return d.argmin(1)
 
 
-def test_packed_mode_exact_on_random_codebook():
+def test_packed_mode_exact_on_random_codebook(record):
     """The default packed split: zero argmin disagreements vs float64 at
     fp32-data magnitudes (the BASELINE.md round-1/2 claim)."""
     x, w = _rand_problem()
     ref = _argmin64(x, w)
     idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="packed")
+    record("packed_flips_vs_float64", int((np.asarray(idx) != ref).sum()))
     np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+def test_margin_mode_exact_on_random_codebook(record):
+    """VERDICT r3 #1's fidelity bar: the margin-gated two-pass BMU (bf16
+    first pass + exact re-rank of ambiguous rows) must deliver ZERO flips
+    vs float64 where packed does — on the same workload class the packed
+    claim is pinned on."""
+    x, w = _rand_problem(seed=6)
+    ref = _argmin64(x, w)
+    idx, val = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="margin")
+    flips = int((np.asarray(idx) != ref).sum())
+    record("margin_flips_vs_float64", flips)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+    # margin recomputes the winner value exactly in f32
+    d64 = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    np.testing.assert_allclose(
+        np.asarray(val), d64.min(1), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_margin_mode_exact_with_offset_near_ties(record):
+    """The adversarial regime (offset features, smoothed codebook): the
+    margin rescue must hold packed-level fidelity where raw bf16 flips
+    wholesale."""
+    rng = np.random.RandomState(12)
+    x = (rng.rand(16384, 64) * 4 + 8).astype(np.float32)
+    w = (rng.rand(4096, 64) * 4 + 8).astype(np.float32)
+    w = 0.9 * w.mean(0) + 0.1 * w
+    ref = _argmin64(x, w)
+    c = jnp.mean(jnp.asarray(w), axis=0)
+    idx_p, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="packed", center=c
+    )
+    idx_m, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="margin", center=c
+    )
+    record(
+        "margin_vs_packed_disagreements_offset",
+        int((np.asarray(idx_m) != np.asarray(idx_p)).sum()),
+    )
+    record(
+        "margin_flips_vs_float64_offset",
+        int((np.asarray(idx_m) != ref).sum()),
+    )
+    flips_m = float(np.mean(np.asarray(idx_m) != ref))
+    flips_p = float(np.mean(np.asarray(idx_p) != ref))
+    assert flips_m <= flips_p + 2e-4, (flips_m, flips_p)
 
 
 def test_highest_mode_exact():
@@ -70,7 +120,7 @@ def test_centering_recovers_offset_fidelity_on_chip():
     assert flips <= 2e-3, f"flip rate {flips} vs float64 with centering"
 
 
-def test_bf16_mode_flip_rate_bounded():
+def test_bf16_mode_flip_rate_bounded(record):
     """The opt-in throughput mode trades ~1.5-2% near-tie winner flips;
     bound it at <5% and require the resulting QE stays within 1e-4
     relative (flipped winners are near-ties by construction)."""
@@ -79,6 +129,7 @@ def test_bf16_mode_flip_rate_bounded():
     idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="bf16")
     idx = np.asarray(idx)
     flips = float(np.mean(idx != ref))
+    record("bf16_flip_rate", flips)
     assert flips < 0.05, f"bf16 flip rate {flips}"
     x64, w64 = x.astype(np.float64), w.astype(np.float64)
     qe_ref = np.mean(np.linalg.norm(x64 - w64[ref], axis=1))
@@ -93,6 +144,30 @@ def test_manhattan_kernel_matches_numpy_on_chip():
     got = np.asarray(pl_manhattan.manhattan_distance(jnp.asarray(x), jnp.asarray(w)))
     ref = np.abs(x[:, None] - w[None]).sum(-1)
     np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-5)
+
+
+def test_manhattan_accum_variants_on_chip(record):
+    """The split-chain accumulators must stay argmin-exact on real Mosaic
+    lowering; the bf16 stream's flip rate is recorded and bounded."""
+    rng = np.random.RandomState(13)
+    x = rng.rand(8192, 64).astype(np.float32)
+    w = rng.rand(2048, 64).astype(np.float32)
+    ref = (
+        np.abs(x.astype(np.float64)[:, None] - w.astype(np.float64)[None])
+        .sum(-1)
+        .argmin(1)
+    )
+    for accum in ("serial", "split2", "split4"):
+        idx, _ = pl_bmu.bmu_manhattan(
+            jnp.asarray(x), jnp.asarray(w), accum=accum
+        )
+        flips = int((np.asarray(idx) != ref).sum())
+        record(f"manhattan_{accum}_flips_vs_float64", flips)
+        assert flips == 0, (accum, flips)
+    idx_b, _ = pl_bmu.bmu_manhattan(jnp.asarray(x), jnp.asarray(w), accum="bf16")
+    rate = float(np.mean(np.asarray(idx_b) != ref))
+    record("manhattan_bf16_flip_rate", rate)
+    assert rate < 0.08, rate
 
 
 def test_train_parity_vs_golden_on_chip():
