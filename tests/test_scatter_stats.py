@@ -1,0 +1,40 @@
+"""Mosaic scatter-stats prototype (VERDICT r2 #4) — interpreter-mode
+correctness; the XLA-vs-Mosaic scatter race is measured on-chip."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from xpysom_dask_tpu.ops.pallas.stats import scatter_stats
+
+
+@pytest.mark.parametrize(
+    "n,d,xy",
+    [
+        (3000, 16, 256),  # ragged sample tiles
+        (1024, 8, 64),  # exact tile fit
+        (10, 3, 5),  # tiny
+    ],
+)
+def test_scatter_stats_matches_numpy(n, d, xy):
+    rng = np.random.RandomState(n)
+    x = rng.rand(n, d).astype(np.float32)
+    m = (rng.rand(n) > 0.1).astype(np.float32)
+    idx = rng.randint(xy, size=n).astype(np.int32)
+    S, cnt = scatter_stats(
+        jnp.asarray(x), jnp.asarray(m), jnp.asarray(idx), xy, interpret=True
+    )
+    aug = np.concatenate([x, np.ones((n, 1), np.float32)], 1) * m[:, None]
+    ref = np.zeros((xy, d + 1), np.float64)
+    np.add.at(ref, idx, aug)
+    np.testing.assert_allclose(np.asarray(S), ref[:, :d], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cnt), ref[:, d], rtol=1e-6)
+
+
+def test_scatter_stats_all_masked():
+    S, cnt = scatter_stats(
+        jnp.ones((64, 4)), jnp.zeros(64), jnp.zeros(64, jnp.int32), 16,
+        interpret=True,
+    )
+    assert float(jnp.abs(S).sum()) == 0.0
+    assert float(cnt.sum()) == 0.0

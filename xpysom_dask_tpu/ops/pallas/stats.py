@@ -1,0 +1,96 @@
+"""Mosaic scatter-accumulation of per-BMU sufficient statistics.
+
+Prototype for the round-3 question (VERDICT r2 #4): the training epoch's
+device timeline is ~84% BMU kernel, ~10% XLA scatter-add of the
+augmented rows ``[x | 1]`` into ``(S, cnt)``, ~6% pads/copies/update
+(BASELINE.md round-2 anatomy; reference hot path xpysom.py:436-440).
+XLA's TPU scatter is a serial per-update loop against an HBM-resident
+operand. This kernel asks whether a Pallas formulation — the ``(XY, D+1)``
+accumulator pinned in VMEM scratch for the whole chunk, winner indices
+staged through SMEM so the row loop is scalar-indexed, one dynamic-slice
+read-modify-write per sample — beats it. The answer is measured on-chip
+with batched medians (BASELINE.md round-3); the kernel is correctness-
+tested in interpreter mode either way.
+
+Layout: grid is 1-D over sample tiles; the accumulator output block is
+the SAME for every grid step (constant index map), so Mosaic keeps it
+VMEM-resident across steps; it is zeroed at step 0 and spilled once at
+the last step. Samples are masked by multiplying the augmented row by
+the row's validity (exactly like core._accumulate_stats).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["scatter_stats"]
+
+_TN = 1024
+
+
+def _kernel(x_ref, m_ref, idx_ref, acc_ref):
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tn, d_dim = x_ref.shape
+    aug = (
+        jnp.concatenate(
+            [x_ref[:], jnp.ones((tn, 1), jnp.float32)], axis=1
+        )
+        * m_ref[:]
+    )  # (TN, D+1), masked rows zero
+
+    def body(s, _):
+        row = idx_ref[s]  # scalar int32 from SMEM
+        a_row = jax.lax.dynamic_slice_in_dim(aug, s, 1, axis=0)
+        acc_ref[pl.ds(row, 1), :] = acc_ref[pl.ds(row, 1), :] + a_row
+        return 0
+
+    jax.lax.fori_loop(0, tn, body, 0, unroll=False)
+    # acc_ref is the (single, revisited) output block: Mosaic spills it
+    # to HBM after the final grid step automatically
+    del ni
+
+
+@partial(jax.jit, static_argnames=("xy", "interpret"))
+def scatter_stats(x, mask, idx, xy, *, interpret=False):
+    """``(S, cnt)`` per-BMU sufficient statistics of one chunk:
+    ``S[b] = Σ_{n: idx_n = b} x_n · mask_n``, ``cnt[b] = Σ mask_n`` —
+    the Mosaic counterpart of the XLA ``zeros.at[idx].add([x|1]·m)``
+    scatter in core._accumulate_stats. ``idx`` rows with ``mask == 0``
+    may hold any in-range value (they contribute zero)."""
+    n, d_dim = x.shape
+    tn = min(_TN, max(8, -(-n // 8) * 8))
+    n_pad = -(-n // tn) * tn
+    pad = n_pad - n
+    x_p = jnp.pad(x.astype(jnp.float32), ((0, pad), (0, 0)))
+    m_p = jnp.pad(mask.astype(jnp.float32), (0, pad))[:, None]
+    idx_p = jnp.pad(idx.astype(jnp.int32), (0, pad))  # masked -> row 0, x 0
+
+    acc = pl.pallas_call(
+        _kernel,
+        grid=(n_pad // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, d_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn,), lambda i: (i,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (xy, d_dim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((xy, d_dim + 1), jnp.float32),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x_p, m_p, idx_p)
+    return acc[:, :d_dim], acc[:, d_dim]
