@@ -472,10 +472,16 @@ class XPySom:
         d_eff = self._input_len
         if kind == "manhattan":
             kwargs.setdefault("kernel", "manhattan")
+            # for the L1 kernel `mode` carries the accumulation strategy
+            kwargs.setdefault(
+                "mode", "bf16" if self._bmu_precision == "bf16" else "serial"
+            )
         elif kind == "norm_p_even":
             p = int(self._activation_distance_kwargs.get("p", 2))
             d_eff = self._input_len * (p + 1)
-        kwargs.setdefault("mode", self._bmu_precision)
+            kwargs.setdefault("mode", self._bmu_precision)
+        else:
+            kwargs.setdefault("mode", self._bmu_precision)
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead
         res = autotune_bmu_tiles(
             n=chunk,

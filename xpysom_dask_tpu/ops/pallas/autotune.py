@@ -63,7 +63,11 @@ class TuneResult(NamedTuple):
 
 def _kernel_call(kernel, x, w, mode, tiles, interpret):
     if kernel == "manhattan":
-        return bmu_manhattan(x, w, tiles=tiles, interpret=interpret)
+        # `mode` doubles as the L1 accumulation strategy
+        # (serial|split2|split4|bf16, see bmu_manhattan)
+        return bmu_manhattan(
+            x, w, tiles=tiles, interpret=interpret, accum=mode or "serial"
+        )
     return bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
 
 

@@ -490,14 +490,17 @@ def bmu_euclidean(
         interpret=interpret,
     )
     if not interpret:
-        # NB: dimension_semantics=("parallel","arbitrary") was measured
-        # 3.5x SLOWER here (141 ms vs 40 ms at the flagship shape) — the
-        # default sequential schedule keeps the revisited x tile resident;
-        # do not add it back. The raised VMEM limit admits larger tiles
-        # (the argmin intermediates triple the d-tile footprint).
-        common["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        )
+        # NB: a round-2 in-epoch measurement put
+        # dimension_semantics=("parallel","arbitrary") 3.5x SLOWER here
+        # (141 ms vs 40 ms at the flagship shape), but that methodology
+        # (per-dispatch steady-state over the relay) later invalidated a
+        # tile claim, so the number is under re-measurement with batched
+        # medians (XPYSOM_BMU_DIMSEM=1 below is the benchmark-only switch
+        # for exactly that experiment — see BASELINE.md round 3).
+        params = dict(vmem_limit_bytes=100 * 1024 * 1024)
+        if os.environ.get("XPYSOM_BMU_DIMSEM"):
+            params["dimension_semantics"] = ("parallel", "arbitrary")
+        common["compiler_params"] = pltpu.CompilerParams(**params)
     x_spec = pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
