@@ -192,3 +192,61 @@ def test_manhattan_accum_variants():
         pl_bmu.bmu_manhattan(
             jnp.asarray(x), jnp.asarray(w), interpret=True, accum="int8"
         )
+
+
+# -- bf16 d-tile variant (round-3 bandwidth experiment) ------------------------
+
+
+@pytest.mark.parametrize("mode", ["margin", "bf16"])
+def test_dtile_bf16_mechanics(mode):
+    """dtile='bf16' stores the in-kernel distance tile in bf16 (halving
+    the VMEM traffic the kernel is bound on). For margin mode the widened
+    gate must keep the argmin EXACT; for bf16 mode it is a throughput
+    knob whose flips stay within the (slightly larger) bf16 envelope."""
+    rng = np.random.RandomState(7)
+    x = rng.rand(300, 48).astype(np.float32)
+    w = rng.rand(700, 48).astype(np.float32)
+    idx, val = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode=mode, dtile="bf16"
+    )
+    ref_i, ref_v = _ref_argmin(x, w)
+    if mode == "margin":
+        np.testing.assert_array_equal(np.asarray(idx), ref_i)
+        np.testing.assert_allclose(np.asarray(val), ref_v, rtol=1e-5, atol=1e-5)
+    else:
+        # flips land on near-ties only: picked distance within the bf16
+        # envelope (cross term + storage rounding) of the true min
+        d64 = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+            w.astype(np.float64) ** 2
+        ).sum(1)
+        picked = d64[np.arange(300), np.asarray(idx)]
+        s_row = np.abs(x) @ np.abs(2 * w).max(0)
+        env = 2**-8 * (8 * s_row + 3 * (w**2).sum(1).max())
+        assert (picked - d64.min(1) <= env).all()
+
+
+def test_dtile_bf16_near_ties_match_packed():
+    rng = np.random.RandomState(1)
+    d = 16
+    base = rng.rand(64, d).astype(np.float32)
+    w = np.repeat(base, 4, axis=0) + 2e-3 * rng.randn(256, d).astype(np.float32)
+    x = (base[rng.randint(64, size=200)] + 2e-3 * rng.randn(200, d)).astype(
+        np.float32
+    )
+    idx_p, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="packed"
+    )
+    idx_m, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin",
+        dtile="bf16",
+    )
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_p))
+
+
+def test_dtile_validation():
+    x = jnp.zeros((8, 4), jnp.float32)
+    w = jnp.zeros((16, 4), jnp.float32)
+    with pytest.raises(ValueError, match="dtile"):
+        pl_bmu.bmu_euclidean(x, w, interpret=True, mode="packed", dtile="bf16")
+    with pytest.raises(ValueError, match="dtile"):
+        pl_bmu.bmu_euclidean(x, w, interpret=True, mode="bf16", dtile="f16")

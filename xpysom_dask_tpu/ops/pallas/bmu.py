@@ -137,6 +137,9 @@ def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant="iota"):
             jnp.where(d == tile_min, lane, _BIG_I32), axis=1, keepdims=True
         )
     tile_arg = tile_arg + j * d.shape[1]
+    # reduces ran on d's native dtype (bf16 when dtile='bf16' — that is
+    # where the traffic saving lives); the (TN, 1) carry stays f32
+    tile_min = tile_min.astype(jnp.float32)
 
     better = tile_min < best_ref[:]
     best_ref[:] = jnp.where(better, tile_min, best_ref[:])
@@ -183,7 +186,15 @@ def _kernel_split3(
 
 
 def _kernel_gemm_argmin(
-    a_ref, w_ref, idx_ref, val_ref, best_ref, bestidx_ref, *, variant="iota"
+    a_ref,
+    w_ref,
+    idx_ref,
+    val_ref,
+    best_ref,
+    bestidx_ref,
+    *,
+    variant="iota",
+    dtile=jnp.float32,
 ):
     """One augmented GEMM per step: the distance ``d = -2 x·w + ‖w‖²``
     comes straight off the MXU (``-2w`` and an exact 3-term bf16 split of
@@ -203,7 +214,7 @@ def _kernel_gemm_argmin(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
-    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=dtile)
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
@@ -216,6 +227,8 @@ def _kernel_gemm_top2(
     best_ref,
     bestidx_ref,
     best2_ref,
+    *,
+    dtile=jnp.float32,
 ):
     """Augmented-GEMM kernel (bf16 single pass, like ``_kernel_gemm_argmin``
     with mode='bf16') whose finish ALSO carries the second-best distance —
@@ -234,7 +247,7 @@ def _kernel_gemm_top2(
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
         best2_ref[:] = jnp.full_like(best2_ref, jnp.inf)
 
-    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=dtile)
     tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     tile_arg = jnp.min(
@@ -243,9 +256,14 @@ def _kernel_gemm_top2(
     # second-best within the tile: mask out only the winning lane, so an
     # equal-valued duplicate lane keeps tile_min2 == tile_min (margin 0)
     tile_min2 = jnp.min(
-        jnp.where(lane == tile_arg, jnp.inf, d), axis=1, keepdims=True
+        jnp.where(lane == tile_arg, jnp.asarray(jnp.inf, d.dtype), d),
+        axis=1,
+        keepdims=True,
     )
     tile_arg = tile_arg + j * d.shape[1]
+    # reduces consumed the (possibly bf16) d tile; carries stay f32
+    tile_min = tile_min.astype(jnp.float32)
+    tile_min2 = tile_min2.astype(jnp.float32)
 
     better = tile_min < best_ref[:]
     # the loser of the min contest is a second-best candidate
@@ -289,10 +307,27 @@ def _kernel_highest(
 # so rows with margin ≤ 2·2.1u·S are ambiguous; 6u (≈1.4× slack) is the
 # shipped gate. Validated against float64 on-chip (tests_tpu).
 _MARGIN_BOUND = 6.0 * 2.0**-8
+# With dtile='bf16' the stored distance adds a rounding error ≤ u·|d|
+# with |d| ≤ S + max_j‖w_j‖², so the pairwise gate widens to
+# 2·(2.1u·S + u·(S + w2max)) = 6.2u·S + 2u·w2max; shipped with ~1.3×
+# slack as 8u·S + 3u·w2max.
+_MARGIN_BOUND_DTILE = 8.0 * 2.0**-8
+_MARGIN_BOUND_W2 = 3.0 * 2.0**-8
 
 
 def _margin_rescue(
-    idx_v, val_v, val2_v, x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac
+    idx_v,
+    val_v,
+    val2_v,
+    x_p,
+    w_flat,
+    w_sq,
+    w2t,
+    n,
+    tiles,
+    interpret,
+    rescue_frac,
+    dtile_bf16=False,
 ):
     """Exact re-rank of the bf16 top-2 pass's ambiguous rows.
 
@@ -309,7 +344,11 @@ def _margin_rescue(
     xy = w_flat.shape[0]
     # per-row error envelope S = Σ_d |x_d| · max_j |2w_dj|
     wmax2 = jnp.max(jnp.abs(w2t), axis=1)  # (D,)
-    eps = _MARGIN_BOUND * (jnp.abs(x_p) @ wmax2)  # (n_pad,)
+    s_row = jnp.abs(x_p) @ wmax2  # (n_pad,)
+    if dtile_bf16:
+        eps = _MARGIN_BOUND_DTILE * s_row + _MARGIN_BOUND_W2 * jnp.max(w_sq)
+    else:
+        eps = _MARGIN_BOUND * s_row
     rows = jnp.arange(n_pad, dtype=jnp.int32)
     suspect = (val2_v - val_v <= eps) & (rows < n)
     cnt = jnp.sum(suspect.astype(jnp.int32))
@@ -400,7 +439,9 @@ def _env_tiles():
 
 @partial(
     jax.jit,
-    static_argnames=("interpret", "mode", "tiles", "finish", "rescue_frac"),
+    static_argnames=(
+        "interpret", "mode", "tiles", "finish", "rescue_frac", "dtile",
+    ),
 )
 def bmu_euclidean(
     x,
@@ -413,6 +454,7 @@ def bmu_euclidean(
     center=None,
     finish="iota",
     rescue_frac=0.125,
+    dtile="f32",
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
@@ -450,6 +492,13 @@ def bmu_euclidean(
         raise ValueError(
             f"finish={finish!r} not recognized (iota|argmin|minonly)"
         )
+    if dtile not in ("f32", "bf16"):
+        raise ValueError(f"dtile={dtile!r} not recognized (f32|bf16)")
+    if dtile == "bf16" and mode not in ("bf16", "margin"):
+        # packed/split3/highest exist to make the distance exact — a
+        # rounded d tile would silently undo that
+        raise ValueError("dtile='bf16' requires mode 'bf16' or 'margin'")
+    dtile_t = jnp.bfloat16 if dtile == "bf16" else jnp.float32
     if center is not None:
         x = x - center[None, :]
         w_flat = w_flat - center[None, :]
@@ -554,16 +603,17 @@ def bmu_euclidean(
                 pltpu.VMEM((tn, 1), jnp.float32),
             ]
             idx_p, val_p, val2_p = pl.pallas_call(
-                _kernel_gemm_top2,
+                partial(_kernel_gemm_top2, dtile=dtile_t),
                 in_specs=[a_spec, waug_spec],
                 **common_m,
             )(a, w_aug)
             return _margin_rescue(
                 idx_p[:, 0], val_p[:, 0], val2_p[:, 0],
                 x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac,
+                dtile_bf16=(dtile == "bf16"),
             )
         idx, val = pl.pallas_call(
-            partial(_kernel_gemm_argmin, variant=finish),
+            partial(_kernel_gemm_argmin, variant=finish, dtile=dtile_t),
             in_specs=[a_spec, waug_spec],
             **common,
         )(a, w_aug)
