@@ -329,3 +329,35 @@ def test_public_api_drive_on_chip():
     flat = np.asarray(d).argmin(1)
     w10 = [divmod(int(f), 7) for f in flat[:10]]
     assert w10 == [tuple(map(int, ij)) for ij in win]
+
+
+def test_margin_dtile_bf16_exact_on_chip(record):
+    """Round-3 bandwidth experiment: margin mode with the bf16 d tile
+    (halved VMEM traffic) must keep the exact-argmin contract — zero
+    flips vs float64 on the packed-claim workload, and packed agreement
+    in the offset near-tie regime — under the widened gate
+    (8u·S + 3u·max‖w‖²)."""
+    x, w = _rand_problem(seed=21)
+    ref = _argmin64(x, w)
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="margin", dtile="bf16"
+    )
+    flips = int((np.asarray(idx) != ref).sum())
+    record("margin_dtile_bf16_flips_vs_float64", flips)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+    rng = np.random.RandomState(12)
+    x2 = (rng.rand(16384, 64) * 4 + 8).astype(np.float32)
+    w2 = (rng.rand(4096, 64) * 4 + 8).astype(np.float32)
+    w2 = 0.9 * w2.mean(0) + 0.1 * w2
+    c = jnp.mean(jnp.asarray(w2), axis=0)
+    idx_p, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x2), jnp.asarray(w2), mode="packed", center=c
+    )
+    idx_m, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x2), jnp.asarray(w2), mode="margin", dtile="bf16", center=c
+    )
+    record(
+        "margin_dtile_bf16_vs_packed_disagreements_offset",
+        int((np.asarray(idx_m) != np.asarray(idx_p)).sum()),
+    )

@@ -40,11 +40,21 @@ CONFIGS = [
     ("margin", "bf16", "idx"),
     ("margin", "bf16", "val"),
 ]
+# optional filter: XSOM_MODES="margin:f32:idx,bf16:bf16:val"
+import os
+
+_filt = os.environ.get("XSOM_MODES")
+if _filt:
+    want = {tuple(c.split(":")) for c in _filt.split(",")}
+    CONFIGS = [c for c in CONFIGS if c in want]
 
 for mode, dtile, consume in CONFIGS:
     call = lambda xx, m=mode, dt=dtile: pl_bmu.bmu_euclidean(
         xx, w, mode=m, dtile=dt
     )
     rec = {"exp": "modes", "shape": [N, XY, D], "mode": mode, "dtile": dtile}
-    rec.update(measure(call, (x,), consume=consume))
+    try:
+        rec.update(measure(call, (x,), consume=consume))
+    except Exception as e:  # one failed config must not kill the sweep
+        rec["error"] = f"{type(e).__name__}: {e}"[:300]
     emit(out, rec)
