@@ -38,3 +38,33 @@ def test_scatter_stats_all_masked():
     )
     assert float(jnp.abs(S).sum()) == 0.0
     assert float(cnt.sum()) == 0.0
+
+
+def test_fits_vmem_gate():
+    from xpysom_dask_tpu.ops.pallas.stats import fits_vmem
+
+    assert fits_vmem(16384, 64)  # flagship 128x128 @ D=64: 4.3 MB
+    assert not fits_vmem(65536, 64)  # 256x256 @ D=64: 17 MB
+    assert not fits_vmem(16384, 512)  # 33.6 MB
+
+
+def test_return_acc_matches_split():
+    import jax.numpy as jnp
+    from xpysom_dask_tpu.ops.pallas.stats import scatter_stats
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(200, 5).astype(np.float32))
+    m = jnp.asarray((rng.rand(200) > 0.2).astype(np.float32))
+    idx = jnp.asarray(rng.randint(37, size=200).astype(np.int32))
+    S, cnt = scatter_stats(x, m, idx, 37, interpret=True)
+    acc = scatter_stats(x, m, idx, 37, interpret=True, return_acc=True)
+    np.testing.assert_array_equal(np.asarray(acc[:, :5]), np.asarray(S))
+    np.testing.assert_array_equal(np.asarray(acc[:, 5]), np.asarray(cnt))
+
+
+def test_core_gate_off_on_cpu():
+    from xpysom_dask_tpu import core
+
+    # tests force the CPU backend, so the gate must refuse regardless of
+    # the fit (the kernel is TPU-only)
+    assert not core._use_mosaic_scatter(None, 16384, 64)

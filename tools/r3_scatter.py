@@ -39,5 +39,8 @@ def mosaic_impl(xx):
 
 for name, impl in (("xla", xla_impl), ("mosaic", mosaic_impl)):
     rec = {"exp": "scatter", "shape": [N, D, XY], "impl": name}
-    rec.update(measure(impl, (x,), consume="val"))
+    try:
+        rec.update(measure(impl, (x,), consume="val"))
+    except Exception as e:  # lowering rejection is itself a result
+        rec["error"] = f"{type(e).__name__}: {e}"[:300]
     emit(out, rec)

@@ -255,13 +255,14 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
     if kind == "manhattan":
         from .ops.pallas.bmu import bmu_manhattan
 
-        # L1 has no split/margin machinery: 'bf16' maps to the reduced-
-        # precision accumulation stream, every other precision to the
-        # exact serial form
-        idx, _ = bmu_manhattan(
-            x, w_flat, tiles=tiles,
-            accum="bf16" if mode == "bf16" else "serial",
-        )
+        # Always the exact serial form: the round-3 slope-decontaminated
+        # ranking (BASELINE.md, tools/r3_results.jsonl) put every
+        # alternative BEHIND it at (16384, 16384, 64) — serial 11.01,
+        # split2 12.53, split4 13.78, bf16 stream 16.41 ms/exec — so the
+        # L1 kernel's VPU bound is precision-independent and reduced
+        # precision would cost fidelity for NEGATIVE speed. The accum
+        # variants remain on bmu_manhattan for benchmarking.
+        idx, _ = bmu_manhattan(x, w_flat, tiles=tiles, accum="serial")
         return idx
     if kind == "norm_p_even":
         from .ops.pallas.bmu import bmu_norm_p_even
@@ -278,14 +279,41 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
+def _use_mosaic_scatter(spec, xy: int, d_dim: int) -> bool:
+    """Route the sufficient-statistics scatter to the Pallas VMEM-
+    accumulator kernel? Same gating idiom as _pallas_bmu_kind (spec
+    switch / legacy env / TPU backend), plus the accumulator must fit
+    the Mosaic VMEM budget (ops/pallas/stats.fits_vmem)."""
+    import os
+
+    use_pallas, _, _ = _bmu_config(spec)
+    if use_pallas is False:
+        return False
+    if use_pallas is None and os.environ.get("XPYSOM_TPU_NO_PALLAS"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    from .ops.pallas.stats import fits_vmem
+
+    return fits_vmem(xy, d_dim)
+
+
 def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec=None):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
 
-    ``S`` and ``cnt`` ride ONE scatter of the augmented rows ``[x | 1]·m``:
-    the XLA TPU scatter-add is a serial per-update loop, so halving the
-    update count by fusing the count column into the row scatter measured
-    1.4× (15.4 → 11.0 ms at N=2^19, XY=16384, D=64).
+    ``S`` and ``cnt`` ride ONE scatter of the augmented rows ``[x | 1]·m``.
+    On TPU, when the ``(XY, D+1)`` accumulator fits the Mosaic VMEM
+    budget, the scatter runs the Pallas VMEM-resident kernel
+    (``ops/pallas/stats.py``): slope-clean round-3 measurement put it at
+    0.0285 ms per 16384-row chunk vs 0.1005 for the XLA scatter-add
+    (3.5×, ~1.7 ns/row-update against VMEM instead of HBM). Otherwise
+    (CPU, huge codebooks, ``use_pallas=False``) the XLA path stands —
+    itself measured fast (6 ns/update; the round-2 "serial bottleneck"
+    narrative was relay measurement contamination, BASELINE.md round 3).
 
     Each chunk scatters into a *fresh* per-chunk partial which is then
     added to the carry: scattering +1.0 rows directly into a large f32
@@ -294,15 +322,21 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec
     at huge-N scale (the residual is ≤1 ulp per chunk-total add)."""
 
     d_dim = data.shape[-1]
+    mosaic_scatter = _use_mosaic_scatter(spec, xy, d_dim)
 
     def body(carry, xs):
         x, m = xs
         bmu = _bmu_chunk(dist, x, w_flat, w_sq, spec)
-        aug = (
-            jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
-            * m[:, None]
-        )
-        part = jnp.zeros((xy, d_dim + 1), dtype=_F32).at[bmu].add(aug)
+        if mosaic_scatter:
+            from .ops.pallas.stats import scatter_stats
+
+            part = scatter_stats(x, m, bmu, xy, return_acc=True)
+        else:
+            aug = (
+                jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
+                * m[:, None]
+            )
+            part = jnp.zeros((xy, d_dim + 1), dtype=_F32).at[bmu].add(aug)
         return carry + part, None
 
     init = jnp.zeros((xy, d_dim + 1), dtype=_F32)

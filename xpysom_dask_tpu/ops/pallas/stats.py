@@ -33,7 +33,7 @@ __all__ = ["scatter_stats"]
 _TN = 1024
 
 
-def _kernel(x_ref, m_ref, idx_ref, acc_ref):
+def _kernel(x_ref, m_ref, idx_ref, acc_ref, aug_ref):
     i = pl.program_id(0)
     ni = pl.num_programs(0)
 
@@ -42,7 +42,10 @@ def _kernel(x_ref, m_ref, idx_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tn, d_dim = x_ref.shape
-    aug = (
+    # Stage the masked augmented rows in a VMEM scratch REF: Mosaic has no
+    # lowering for dynamic_slice on vector VALUES, but dynamic pl.ds
+    # indexing on refs is supported — the row loop reads from the scratch.
+    aug_ref[:] = (
         jnp.concatenate(
             [x_ref[:], jnp.ones((tn, 1), jnp.float32)], axis=1
         )
@@ -51,7 +54,7 @@ def _kernel(x_ref, m_ref, idx_ref, acc_ref):
 
     def body(s, _):
         row = idx_ref[s]  # scalar int32 from SMEM
-        a_row = jax.lax.dynamic_slice_in_dim(aug, s, 1, axis=0)
+        a_row = aug_ref[pl.ds(s, 1), :]
         acc_ref[pl.ds(row, 1), :] = acc_ref[pl.ds(row, 1), :] + a_row
         return 0
 
@@ -61,13 +64,33 @@ def _kernel(x_ref, m_ref, idx_ref, acc_ref):
     del ni
 
 
-@partial(jax.jit, static_argnames=("xy", "interpret"))
-def scatter_stats(x, mask, idx, xy, *, interpret=False):
+# Conservative VMEM budget for the (XY, D+1) f32 accumulator block: the
+# Mosaic scoped-VMEM ceiling on v5e rejects kernels past ~16 MB
+# (CLAUDE.md); leave room for the aug scratch + input tiles.
+_ACC_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def fits_vmem(xy: int, d_dim: int) -> bool:
+    """True when the (XY, D+1) accumulator fits the Mosaic VMEM budget —
+    the dispatch gate core uses before routing the sufficient-statistics
+    scatter here (128×128×64 flagship: 4.3 MB ✓; 256×256×64: 17 MB ✗)."""
+    return xy * (d_dim + 1) * 4 <= _ACC_VMEM_BUDGET
+
+
+@partial(jax.jit, static_argnames=("xy", "interpret", "return_acc"))
+def scatter_stats(x, mask, idx, xy, *, interpret=False, return_acc=False):
     """``(S, cnt)`` per-BMU sufficient statistics of one chunk:
     ``S[b] = Σ_{n: idx_n = b} x_n · mask_n``, ``cnt[b] = Σ mask_n`` —
     the Mosaic counterpart of the XLA ``zeros.at[idx].add([x|1]·m)``
     scatter in core._accumulate_stats. ``idx`` rows with ``mask == 0``
-    may hold any in-range value (they contribute zero)."""
+    may hold any in-range value (they contribute zero).
+    ``return_acc=True`` returns the raw ``(XY, D+1)`` accumulator
+    (``[S | cnt]``) without slicing — what the epoch carry adds.
+
+    Round-3 slope-clean measurement (tools/r3_results.jsonl, shape
+    N=16384, D=64, XY=16384): 0.0285 ms/exec vs 0.1005 for the XLA
+    scatter-add — 3.5× — because the read-modify-write loop runs against
+    the VMEM-resident accumulator (~1.7 ns/row-update) instead of HBM."""
     n, d_dim = x.shape
     tn = min(_TN, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tn) * tn
@@ -88,9 +111,12 @@ def scatter_stats(x, mask, idx, xy, *, interpret=False):
             (xy, d_dim + 1), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((xy, d_dim + 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tn, d_dim + 1), jnp.float32)],
         interpret=interpret,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(x_p, m_p, idx_p)
+    if return_acc:
+        return acc
     return acc[:, :d_dim], acc[:, d_dim]
