@@ -250,3 +250,34 @@ def test_dtile_validation():
         pl_bmu.bmu_euclidean(x, w, interpret=True, mode="packed", dtile="bf16")
     with pytest.raises(ValueError, match="dtile"):
         pl_bmu.bmu_euclidean(x, w, interpret=True, mode="bf16", dtile="f16")
+
+
+def test_margin_rescue_row0_not_clobbered():
+    """Regression: when row 0 is itself a suspect and the rescue buffer
+    has spare capacity, the spare slots must not clobber row 0's rescued
+    index with the stale bf16 winner (caught on-chip as margin-trained
+    weights diverging from packed-trained; the buffer's zero-filled tail
+    issued duplicate row-0 writes)."""
+    rng = np.random.RandomState(11)
+    d = 16
+    # row 0: an adversarial near-tie the bf16 pass flips; rows 1..15 clean
+    w = rng.rand(64, d).astype(np.float32)
+    w[1] = w[0] + 3e-4 * rng.randn(d).astype(np.float32)
+    x = np.concatenate(
+        [
+            (w[0] + 0.5 * (w[1] - w[0]) + 1e-5 * rng.randn(1, d)).astype(
+                np.float32
+            ),
+            rng.rand(15, d).astype(np.float32),
+        ]
+    )
+    idx_m, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="margin"
+    )
+    idx_p, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="packed"
+    )
+    # the contract is margin == packed (row 0's margin sits below f32
+    # resolution, where no f32-class kernel tracks float64 — the clobber
+    # bug made margin keep the raw-bf16 flip packed does not have)
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_p))

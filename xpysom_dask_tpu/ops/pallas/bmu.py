@@ -44,6 +44,15 @@ is silently elided to zero under XLA's ``--xla_allow_excess_precision``.
 ``XPYSOM_BMU_PRECISION`` selects ``packed`` (default) / ``bf16`` /
 ``split3`` (in-kernel splits) / ``highest`` (exact 6-pass f32).
 
+``dtile`` (round 3): the kernel is bound on VMEM traffic over the
+(TN, TJ) distance tile (1 write + ~2.6 reads of 4·TN·TJ bytes);
+``dtile='bf16'`` stores that tile in bf16 — the MXU still accumulates
+in f32 (Mosaic requires a 32-bit matmul acc), the cast rides the
+accumulator output — halving the bound. Valid for the ``bf16`` and
+``margin`` modes; ``margin``'s rescue gate widens by the storage-
+rounding term (±u·|d|, |d| ≤ S + max‖w‖²) so its exact-argmin contract
+is preserved (tests_tpu pins it on-chip).
+
 Tie-breaking matches NumPy argmin (first index wins): within a tile the
 first-minimum lane is selected via an iota trick, across tiles a strict
 ``<`` keeps the earlier tile's winner.
@@ -214,7 +223,12 @@ def _kernel_gemm_argmin(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
-    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=dtile)
+    # Mosaic requires a 32-bit matmul accumulator; the cast to a bf16
+    # d tile (dtile experiment) happens on the accumulator output, so
+    # the reduces consume half-width data
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if dtile != jnp.float32:
+        d = d.astype(dtile)
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
@@ -247,7 +261,9 @@ def _kernel_gemm_top2(
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
         best2_ref[:] = jnp.full_like(best2_ref, jnp.inf)
 
-    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=dtile)
+    d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if dtile != jnp.float32:
+        d = d.astype(dtile)
     tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     tile_arg = jnp.min(
@@ -356,13 +372,20 @@ def _margin_rescue(
     k_cap = min(n_pad, max(8, -(-int(n_pad * rescue_frac) // 8) * 8))
     pos = jnp.cumsum(suspect.astype(jnp.int32)) - 1
     dest = jnp.where(suspect & (pos < k_cap), pos, k_cap)
-    buf = jnp.zeros((k_cap,), jnp.int32).at[dest].set(rows, mode="drop")
+    # Unused buffer slots point at the out-of-range dump index n_pad, so
+    # the patch scatter DROPS them. (A zero-filled buffer here was a real
+    # bug caught by an on-chip train-divergence probe: tail slots issued
+    # duplicate writes of the STALE bf16 winner to row 0, clobbering its
+    # rescue whenever row 0 was itself a suspect — duplicate-index
+    # scatter order is unspecified, and on TPU the stale write won.)
+    buf = jnp.full((k_cap,), n_pad, jnp.int32).at[dest].set(rows, mode="drop")
+    # gather clamps buf's dump index to the last row — harmless: its
+    # re-rank result is dropped by the same out-of-range patch write
     idx_sus, _ = bmu_euclidean(
-        x_p[buf], w_flat, w_sq.reshape(xy, 1),
+        x_p[jnp.minimum(buf, n_pad - 1)], w_flat, w_sq.reshape(xy, 1),
         interpret=interpret, mode="packed", tiles=tiles,
     )
-    valid = jnp.arange(k_cap) < cnt
-    patched = idx_v.at[buf].set(jnp.where(valid, idx_sus, idx_v[buf]))
+    patched = idx_v.at[buf].set(idx_sus, mode="drop")
 
     def _full_packed():
         fi, _ = bmu_euclidean(
@@ -539,13 +562,15 @@ def bmu_euclidean(
         interpret=interpret,
     )
     if not interpret:
-        # NB: a round-2 in-epoch measurement put
-        # dimension_semantics=("parallel","arbitrary") 3.5x SLOWER here
-        # (141 ms vs 40 ms at the flagship shape), but that methodology
-        # (per-dispatch steady-state over the relay) later invalidated a
-        # tile claim, so the number is under re-measurement with batched
-        # medians (XPYSOM_BMU_DIMSEM=1 below is the benchmark-only switch
-        # for exactly that experiment — see BASELINE.md round 3).
+        # dimension_semantics=("parallel","arbitrary"): RESOLVED round 3
+        # (VERDICT r2 #5). The round-2 "3.5x slower" claim was relay
+        # measurement contamination like the retracted tile claim —
+        # slope-decontaminated re-measurement (tools/r3_results.jsonl,
+        # BASELINE.md round 3) puts it NEUTRAL: packed 0.909 (on) vs
+        # 0.949 (off) ms/exec at (16384,16384,64); 1.413 vs 1.306/1.384
+        # at (16384,4096,512) — within cross-window noise both ways, no
+        # free parallelism to claim. Default stays off; the env switch
+        # remains for future re-measurement on other TPU generations.
         params = dict(vmem_limit_bytes=100 * 1024 * 1024)
         if os.environ.get("XPYSOM_BMU_DIMSEM"):
             params["dimension_semantics"] = ("parallel", "arbitrary")
