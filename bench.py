@@ -16,6 +16,17 @@ per chip: 10^8 samples/epoch/min on a v5p-64 slice = 10^8 / 64 / 60
 
 Synchronization note: ``block_until_ready`` is advisory on some tunneled
 TPU transports, so timing syncs by fetching a reduction to host.
+
+Timing method (round 3): two-depth SLOPE. Each timed dispatch carries a
+per-dispatch constant R (tunnel round-trip + queue; 20-100 ms observed,
+time-varying — BASELINE.md round-3 header) that direct per-epoch division
+folds into the result. Timing the SAME compiled train_fn at two epoch
+depths and dividing the time DELTA by the epoch delta cancels R exactly:
+
+    per_epoch = (t(hi) - t(lo)) / (hi - lo)
+
+Both depths are sampled in alternation within one window, min-of-3 each.
+The direct (dispatch-inclusive) number is printed to stderr alongside.
 """
 
 import json
@@ -41,10 +52,11 @@ def main():
     n = int(os.environ.get("XSOM_BENCH_N", 1 << 19))
     chunk = int(os.environ.get("XSOM_BENCH_CHUNK", 16384))
     epochs_warmup = 1
-    # 15 timed epochs ≈ 0.55 s of device work: long enough that the one
-    # dispatch+host-sync round-trip (~5-20 ms on tunneled transports)
-    # stays <4% of the measurement.
-    epochs_timed = int(os.environ.get("XSOM_BENCH_EPOCHS", 15))
+    # Two-depth slope (module docstring): the deep depth is the env knob
+    # (smoke tests shrink it); the shallow depth scales with it.
+    epochs_hi = int(os.environ.get("XSOM_BENCH_EPOCHS", 35))
+    epochs_lo = max(1, epochs_hi // 7)
+    reps = 3
 
     spec = SomSpec(
         x=x,
@@ -56,8 +68,8 @@ def main():
         learning_rateN=0.01,
     )
     # schedule length (static); we time fresh slices of it — sized so the
-    # warmup + three timed reps always stay inside the schedule
-    num_epochs = max(100, epochs_warmup + 3 * epochs_timed)
+    # warmup + all timed reps always stay inside the schedule
+    num_epochs = max(128, epochs_warmup + reps * (epochs_lo + epochs_hi))
 
     rng = np.random.RandomState(0)
     data_np = rng.rand(n, d).astype(np.float32)
@@ -80,30 +92,45 @@ def main():
     w = train_fn(w, chunks, mask, jnp.int32(0), jnp.int32(epochs_warmup))
     sync(w)
 
-    # Best of 3 timed dispatches: on relayed transports the per-dispatch
-    # queue latency is load-dependent (measured 2 s -> 16 s round-trips
-    # under load, BASELINE.md round-2 addendum) — the minimum is the
-    # honest device-throughput estimate. Each rep times a fresh slice of
-    # the 100-epoch schedule, so compiled code and decay math are real.
-    dt = float("inf")
+    # Alternate depths within one window; min-of-reps per depth (the
+    # minimum is the honest lower envelope under load-dependent queue
+    # latency — 2 s -> 16 s round-trips observed, BASELINE.md). Each rep
+    # times a fresh slice of the schedule, so decay math is real and the
+    # compiled executable is the same object at both depths.
+    t_min = {epochs_lo: float("inf"), epochs_hi: float("inf")}
     beg = epochs_warmup
-    for _ in range(3):
-        t0 = time.perf_counter()
-        w = train_fn(
-            w,
-            chunks,
-            mask,
-            jnp.int32(beg),
-            jnp.int32(beg + epochs_timed),
-        )
-        checksum = sync(w)
-        dt = min(dt, time.perf_counter() - t0)
-        beg += epochs_timed
+    for _ in range(reps):
+        for depth in (epochs_lo, epochs_hi):
+            t0 = time.perf_counter()
+            w = train_fn(
+                w,
+                chunks,
+                mask,
+                jnp.int32(beg),
+                jnp.int32(beg + depth),
+            )
+            checksum = sync(w)
+            t_min[depth] = min(t_min[depth], time.perf_counter() - t0)
+            beg += depth
 
-    samples_per_sec = n * epochs_timed / dt
+    direct = n * epochs_hi / t_min[epochs_hi]
+    if epochs_hi > epochs_lo and t_min[epochs_hi] > t_min[epochs_lo]:
+        per_epoch = (t_min[epochs_hi] - t_min[epochs_lo]) / (
+            epochs_hi - epochs_lo
+        )
+        samples_per_sec = n / per_epoch
+        method = "slope"
+    else:
+        # degenerate depths (smoke configs) or a window shift mid-run:
+        # fall back to the dispatch-inclusive estimate
+        samples_per_sec = direct
+        method = "direct"
+
     print(
-        f"{epochs_timed} epochs in {dt:.3f}s -> {samples_per_sec:,.0f} "
-        f"samples/s/chip (checksum {checksum:.1f})",
+        f"t(lo={epochs_lo})={t_min[epochs_lo]:.3f}s "
+        f"t(hi={epochs_hi})={t_min[epochs_hi]:.3f}s -> "
+        f"{samples_per_sec:,.0f} samples/s/chip [{method}] "
+        f"(dispatch-inclusive {direct:,.0f}; checksum {checksum:.1f})",
         file=sys.stderr,
     )
 

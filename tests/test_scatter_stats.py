@@ -68,3 +68,16 @@ def test_core_gate_off_on_cpu():
     # tests force the CPU backend, so the gate must refuse regardless of
     # the fit (the kernel is TPU-only)
     assert not core._use_mosaic_scatter(None, 16384, 64)
+
+
+def test_core_gate_requires_env_opt_in(monkeypatch):
+    """The Mosaic scatter lost the in-context ranking to the XLA
+    scatter-add (BASELINE.md round 3): it must never route without the
+    explicit XPYSOM_MOSAIC_SCATTER benchmark hook."""
+    from xpysom_dask_tpu import core
+
+    monkeypatch.delenv("XPYSOM_MOSAIC_SCATTER", raising=False)
+    assert not core._use_mosaic_scatter(None, 128, 8)
+    # and even WITH the hook, the CPU backend still refuses
+    monkeypatch.setenv("XPYSOM_MOSAIC_SCATTER", "1")
+    assert not core._use_mosaic_scatter(None, 128, 8)

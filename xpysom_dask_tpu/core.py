@@ -281,11 +281,21 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
 
 def _use_mosaic_scatter(spec, xy: int, d_dim: int) -> bool:
     """Route the sufficient-statistics scatter to the Pallas VMEM-
-    accumulator kernel? Same gating idiom as _pallas_bmu_kind (spec
-    switch / legacy env / TPU backend), plus the accumulator must fit
-    the Mosaic VMEM budget (ops/pallas/stats.fits_vmem)."""
+    accumulator kernel? OFF by default: the kernel's standalone 3.5×
+    win over the XLA scatter-add was an isolation artifact — measured
+    *in training context* (one window, slope method,
+    tools/r3_epoch_anatomy.py) the Mosaic scatter costs 7.8 ms/epoch on
+    the flagship vs 3.2 for XLA, a 12% end-to-end regression, because
+    the serial row-RMW loop cannot overlap the adjacent BMU kernel the
+    way XLA's scatter overlaps its neighbors (BASELINE.md round 3,
+    'scatter retraction'). Opt-in via ``XPYSOM_MOSAIC_SCATTER=1``
+    (benchmark hook, read at trace time) for re-measurement on future
+    toolchains; still requires the TPU backend and the accumulator to
+    fit the Mosaic VMEM budget (ops/pallas/stats.fits_vmem)."""
     import os
 
+    if not os.environ.get("XPYSOM_MOSAIC_SCATTER"):
+        return False
     use_pallas, _, _ = _bmu_config(spec)
     if use_pallas is False:
         return False
@@ -305,15 +315,13 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
 
-    ``S`` and ``cnt`` ride ONE scatter of the augmented rows ``[x | 1]·m``.
-    On TPU, when the ``(XY, D+1)`` accumulator fits the Mosaic VMEM
-    budget, the scatter runs the Pallas VMEM-resident kernel
-    (``ops/pallas/stats.py``): slope-clean round-3 measurement put it at
-    0.0285 ms per 16384-row chunk vs 0.1005 for the XLA scatter-add
-    (3.5×, ~1.7 ns/row-update against VMEM instead of HBM). Otherwise
-    (CPU, huge codebooks, ``use_pallas=False``) the XLA path stands —
-    itself measured fast (6 ns/update; the round-2 "serial bottleneck"
-    narrative was relay measurement contamination, BASELINE.md round 3).
+    ``S`` and ``cnt`` ride ONE scatter of the augmented rows ``[x | 1]·m``
+    through the XLA scatter-add — the measured winner IN TRAINING CONTEXT
+    (3.2 ms/epoch on the flagship vs 7.8 for the Pallas VMEM-accumulator
+    kernel, whose standalone 3.5× was an isolation artifact; one-window
+    slope anatomy, BASELINE.md round 3). The Mosaic kernel
+    (``ops/pallas/stats.py``) stays behind ``XPYSOM_MOSAIC_SCATTER=1``
+    as a re-measurement hook.
 
     Each chunk scatters into a *fresh* per-chunk partial which is then
     added to the carry: scattering +1.0 rows directly into a large f32

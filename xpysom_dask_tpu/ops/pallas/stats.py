@@ -8,9 +8,20 @@ XLA's TPU scatter is a serial per-update loop against an HBM-resident
 operand. This kernel asks whether a Pallas formulation — the ``(XY, D+1)``
 accumulator pinned in VMEM scratch for the whole chunk, winner indices
 staged through SMEM so the row loop is scalar-indexed, one dynamic-slice
-read-modify-write per sample — beats it. The answer is measured on-chip
-with batched medians (BASELINE.md round-3); the kernel is correctness-
-tested in interpreter mode either way.
+read-modify-write per sample — beats it.
+
+ANSWER (round 3, two measurements): standalone the kernel clocked
+0.0285 ms per 16384-row chunk vs 0.1005 for the XLA scatter — but IN
+TRAINING CONTEXT (interleaved with the BMU kernel in the epoch scan;
+one-window slope anatomy, tools/r3_epoch_anatomy.py) it costs
+0.24 ms/chunk vs 0.10 for XLA: the standalone figure was an isolation
+artifact (1.7 ns per *serial dependent* VMEM RMW is under two cycles —
+not physical), and in the real epoch the serial scalar loop cannot
+overlap the neighboring MXU work the way XLA's scatter does. The kernel
+is therefore NOT routed by default (``core._use_mosaic_scatter``
+requires ``XPYSOM_MOSAIC_SCATTER=1``); it remains correctness-tested in
+interpreter mode and on-chip as a re-measurement hook for future
+toolchains. Full writeup: BASELINE.md round 3, 'scatter retraction'.
 
 Layout: grid is 1-D over sample tiles; the accumulator output block is
 the SAME for every grid step (constant index map), so Mosaic keeps it
@@ -87,10 +98,11 @@ def scatter_stats(x, mask, idx, xy, *, interpret=False, return_acc=False):
     ``return_acc=True`` returns the raw ``(XY, D+1)`` accumulator
     (``[S | cnt]``) without slicing — what the epoch carry adds.
 
-    Round-3 slope-clean measurement (tools/r3_results.jsonl, shape
-    N=16384, D=64, XY=16384): 0.0285 ms/exec vs 0.1005 for the XLA
-    scatter-add — 3.5× — because the read-modify-write loop runs against
-    the VMEM-resident accumulator (~1.7 ns/row-update) instead of HBM."""
+    Measurement status (round 3): standalone 0.0285 ms/exec vs 0.1005
+    for the XLA scatter-add at (N=16384, D=64, XY=16384) — but that
+    isolation number did not survive in-context re-measurement
+    (0.24 ms/chunk inside the training scan vs 0.10 for XLA; see the
+    module docstring). Not the default path; benchmark hook only."""
     n, d_dim = x.shape
     tn = min(_TN, max(8, -(-n // 8) * 8))
     n_pad = -(-n // tn) * tn
