@@ -93,13 +93,17 @@ def test_hex_parity(name, sigma, compact):
     ],
 )
 @pytest.mark.parametrize("compact", [False, True])
-def test_operator_matches_dense(name, topology, compact):
+# Both Y parities: the hex separable operator splits by offset-row parity
+# classes, whose membership pattern (counted from the END of the grid)
+# differs between odd and even Y.
+@pytest.mark.parametrize("x,y", [(4, 5), (5, 4)])
+def test_operator_matches_dense(name, topology, compact, x, y):
     """The factored operator applied to sufficient statistics must equal the
     dense contraction num[j] = Σ_b H[b,j]·S[b] with H built row-by-row from
     the batched kernels with every node as center."""
     if name == "bubble" and compact:
         pytest.skip("bubble has no compact_support parameter")
-    x, y, d = 4, 5, 3
+    d = 3
     sigma, std_coeff = 1.3, 0.8
     xx, yy = grid_coordinates(x, y, topology)
     op = NB.neighborhood_operator(

@@ -42,6 +42,14 @@ def _pair(x, y, d, **kw):
         {"topology": "hexagonal"},
         {"topology": "hexagonal", "neighborhood_function": "mexican_hat"},
         {"topology": "hexagonal", "neighborhood_function": "bubble", "sigma": 2.0},
+        # covers the per-parity-class separable hex mexican-hat operator
+        # with the compact box folded into the class factors
+        {
+            "topology": "hexagonal",
+            "neighborhood_function": "mexican_hat",
+            "compact_support": True,
+            "sigma": 2.0,
+        },
         {"decay_function": "linear"},
         {"decay_function": "asymptotic"},
         {"compact_support": True, "sigma": 2.0},

@@ -16,9 +16,11 @@ provided:
    (sum of) separable product(s) ``H = Σ_k Axᵏ ⊗ Ayᵏ`` with tiny
    ``(X, X)``/``(Y, Y)`` factors, turning the update into two small MXU
    GEMMs instead of the reference's ``(X·Y, N) @ (N, D)`` GEMM over a
-   materialized ``(N, X, Y)`` tensor (reference xpysom.py:434-440). For
-   hexagonal (generic) kernels the dense ``(XY, XY)`` operator is built
-   once per epoch.
+   materialized ``(N, X, Y)`` tensor (reference xpysom.py:434-440). The
+   hexagonal (generic) kernels factor the same way once split by the
+   offset-row parity classes (Δx is half-integer across classes, integer
+   within): three class-masked separable terms for gaussian, nine for
+   mexican hat — hex trains at rectangular speed.
 
 Semantics preserved from the reference:
 
@@ -46,6 +48,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Operator-application GEMMs run at HIGHEST precision: they are tiny
 # (O(XY^2 D) worst case) but feed the codebook update directly, and the
@@ -225,14 +228,12 @@ def neighborhood_operator(
     """Return the per-epoch neighborhood operator in its cheapest form.
 
     The training update applies ``num[j] = Σ_b H[b, j]·S[b]`` where ``b``
-    ranges over grid nodes acting as BMU centers. Returns one of:
-
-    - ``("sum_separable", [(Ax, Ay), ...])`` — ``H = Σ_k Axᵏ ⊗ Ayᵏ`` with
-      ``Ax: (X, X)``, ``Ay: (Y, Y)``; the update is two small GEMMs per
-      term (used for every rectangular-topology kernel).
-    - ``("full", H)`` — dense ``(XY, XY)`` operator (hexagonal/generic
-      kernels, whose factors depend on both grid indices through the offset
-      euclidean coordinates).
+    ranges over grid nodes acting as BMU centers. Returns
+    ``("sum_separable", [(Ax, Ay), ...])`` — ``H = Σ_k Axᵏ ⊗ Ayᵏ`` with
+    ``Ax: (X, X)``, ``Ay: (Y, Y)``; the update is two small GEMMs per
+    term. Every supported kernel factors this way: rectangular kernels
+    directly, hexagonal gaussian/mexican-hat after splitting by the
+    offset-row parity classes (see the hexagonal branch below).
 
     ``sigma`` may be traced; ``name``/``topology``/``compact_support`` are
     static.
@@ -298,46 +299,76 @@ def neighborhood_operator(
             raise ValueError(
                 f"{name!r} neighborhood not available for hexagonal topology"
             )
-        # Pairwise form: the generic kernels are functions of the euclidean
-        # coordinate differences (Δx, Δy) between center and node
-        # (neighborhoods.py:35-55,76-97: ax·ay = f((xx-cx)², (yy-cy)²)), so
-        # H tiles are built on the fly from the flat coordinate vectors —
-        # no (XY, XY) materialization; `apply_operator` scans center tiles.
-        # Flat C-order coordinates: node (i, j) sits at (xx.T[i,j], yy.T[i,j]).
-        coords_x = xx.T.reshape(-1)
-        coords_y = yy.T.reshape(-1)
-        return (
-            "pairwise",
-            (name, coords_x, coords_y, std_coeff, compact_support, sigma),
+        # Per-parity-class separable form. The hex offset (reference
+        # xpysom.py:205-206, grid_coordinates) only shifts the x-coordinate
+        # of alternate rows by 0.5, so for center (a, b) and node (i, j):
+        #   Δx = (i − a) − 0.5·(off(j) − off(b)),   Δy = j − b,
+        # where off(r) ∈ {0, 1} marks the shifted rows. δ = off(j) − off(b)
+        # takes only three values, each a function of the two rows' parity
+        # CLASSES — so the generic kernels (products/sums of f(Δx²), g(Δy²))
+        # factor exactly into Σ_δ AXδ ⊗ (Ay ⊙ Mδ): three class-masked
+        # separable terms for gaussian, nine for mexican hat. The update
+        # drops from O(XY²·D) (pairwise H tiles; measured 3.2 ms/epoch on
+        # the 128×128×64 flagship, BASELINE.md round 3) to the rect-grade
+        # O(XY·(X+Y)·D) GEMMs — hex trains at rectangular speed.
+        d = 2.0 * std_coeff**2 * sigma**2
+        # off[r] = 1 where xx[::-2] shifted row r: rows counted from the
+        # END, i.e. (Y−1−r) even. Static → numpy constants.
+        off = ((Y - 1 - np.arange(Y)) % 2 == 0).astype(np.float32)
+        m_same = off[:, None] * off[None, :] + (1.0 - off[:, None]) * (
+            1.0 - off[None, :]
         )
+        m_p = (1.0 - off[:, None]) * off[None, :]  # center class 0 → node 1
+        m_m = off[:, None] * (1.0 - off[None, :])  # center class 1 → node 0
+        masks = (jnp.asarray(m_same), jnp.asarray(m_p), jnp.asarray(m_m))
+
+        ii = neigx[None, :].astype(_F32)  # node x-index i
+        aa = neigx[:, None].astype(_F32)  # center x-index a
+        jj = neigy[None, :].astype(_F32)  # node y-index j
+        bb = neigy[:, None].astype(_F32)  # center y-index b
+        dxs = (ii - aa, ii - aa - 0.5, ii - aa + 0.5)  # δ ∈ {0, +1, −1}
+        dy = jj - bb
+
+        def box(dv):
+            return ((dv > -sigma) & (dv < sigma)).astype(_F32)
+
+        if name == "gaussian":
+            # ax·ay with per-axis compact masks (gaussian_generic :110-128)
+            ay = jnp.exp(-jnp.square(dy) / d)
+            if compact_support:
+                ay = ay * box(dy)
+            terms = []
+            for dx, mask in zip(dxs, masks):
+                ax = jnp.exp(-jnp.square(dx) / d)
+                if compact_support:
+                    ax = ax * box(dx)
+                terms.append((ax, ay * mask))
+            return ("sum_separable", terms)
+
+        # mexican hat: p̃ = px̃ + pỹ (axis-masked like the generic form),
+        # H = e^{−p̃/d}(1 − 2p̃/d) = Ex⊗Ey − (Ex·u)⊗Ey − Ex⊗(Ey·v) per class
+        py = jnp.square(dy)
+        if compact_support:
+            py = py * box(dy)
+        ey = jnp.exp(-py / d)
+        v = 2.0 / d * py
+        terms = []
+        for dx, mask in zip(dxs, masks):
+            px = jnp.square(dx)
+            if compact_support:
+                px = px * box(dx)
+            ex = jnp.exp(-px / d)
+            u = 2.0 / d * px
+            terms.extend(
+                [
+                    (ex, ey * mask),
+                    (-ex * u, ey * mask),
+                    (ex, -(ey * v) * mask),
+                ]
+            )
+        return ("sum_separable", terms)
 
     raise ValueError(f"unknown topology {topology!r}")
-
-
-def _pairwise_tile(name, cx, cy, coords_x, coords_y, std_coeff, compact, sigma):
-    """(TB, XY) neighborhood weights for a tile of centers at euclidean
-    coords (cx, cy) — same math as gaussian_generic / mexican_hat_generic."""
-    d = 2.0 * std_coeff**2 * sigma**2
-    dx = coords_x[None, :] - cx[:, None]
-    dy = coords_y[None, :] - cy[:, None]
-    px = dx * dx
-    py = dy * dy
-    if compact:
-        in_x = ((dx > -sigma) & (dx < sigma)).astype(_F32)
-        in_y = ((dy > -sigma) & (dy < sigma)).astype(_F32)
-    if name == "gaussian":
-        ax = jnp.exp(-px / d)
-        ay = jnp.exp(-py / d)
-        if compact:
-            ax = ax * in_x
-            ay = ay * in_y
-        return ax * ay
-    # mexican hat
-    if compact:
-        px = px * in_x
-        py = py * in_y
-    p = px + py
-    return jnp.exp(-p / d) * (1.0 - 2.0 / d * p)
 
 
 def apply_operator(op, s_flat, cnt):
@@ -353,38 +384,6 @@ def apply_operator(op, s_flat, cnt):
         h = payload
         num = jnp.dot(h.T, s_flat, preferred_element_type=_F32, precision=_PRECISION)
         den = jnp.dot(h.T, cnt[None, :].T, preferred_element_type=_F32, precision=_PRECISION)[:, 0]
-        return num, den
-    if kind == "pairwise":
-        name, coords_x, coords_y, std_coeff, compact, sigma = payload
-        # scan over center tiles: H never materializes beyond (TB, XY)
-        tb = max(128, min(2048, (1 << 22) // max(xy, 1)))
-        n_pad = -(-xy // tb) * tb
-        pad = n_pad - xy
-        cx = jnp.pad(coords_x, (0, pad)).reshape(-1, tb)
-        cy = jnp.pad(coords_y, (0, pad)).reshape(-1, tb)
-        s_p = jnp.pad(s_flat, ((0, pad), (0, 0)))  # padded centers carry 0
-        c_p = jnp.pad(cnt, (0, pad)).reshape(-1, tb)
-        s_tiles = s_p.reshape(-1, tb, d_dim)
-
-        def body(carry, xs):
-            num, den = carry
-            cx_t, cy_t, s_t, c_t = xs
-            h = _pairwise_tile(
-                name, cx_t, cy_t, coords_x, coords_y, std_coeff, compact, sigma
-            )  # (tb, xy)
-            num = num + jnp.dot(
-                h.T, s_t, preferred_element_type=_F32, precision=_PRECISION
-            )
-            den = den + jnp.dot(
-                h.T, c_t[:, None], preferred_element_type=_F32, precision=_PRECISION
-            )[:, 0]
-            return (num, den), None
-
-        init = (
-            jnp.zeros((xy, d_dim), dtype=_F32),
-            jnp.zeros((xy,), dtype=_F32),
-        )
-        (num, den), _ = jax.lax.scan(body, init, (cx, cy, s_tiles, c_p))
         return num, den
     # sum of separable terms: S viewed as (X, Y, D), cnt as (X, Y)
     x_dim = payload[0][0].shape[0]
