@@ -148,10 +148,43 @@ def main():
         new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
         return jnp.sum(new_flat)
 
+    def make_stats_fused(tiles):
+        # VERDICT r2 #4 prototype: BMU + in-kernel stats scatter in ONE
+        # Pallas kernel (ops/pallas/fused_stats.py); compare against
+        # bmu+xla_scatter measured in the same window
+        from xpysom_dask_tpu.ops.pallas.fused_stats import bmu_stats_fused
+
+        def stats_fused(wp, cks, msk):
+            w_flat = wp.reshape(xy, d)
+
+            def body(carry, xs):
+                xch, m = xs
+                _, acc = bmu_stats_fused(xch, w_flat, m, tiles=tiles)
+                return carry + acc, None
+
+            init = jnp.zeros((xy, d + 1), dtype=jnp.float32)
+            acc, _ = jax.lax.scan(body, init, (cks, msk))
+            return jnp.sum(acc)
+
+        return stats_fused
+
     args = (w, chunks, mask)
     r_bmu = slope(bmu_only, args, "bmu_only_32chunks")
     r_stats = slope(stats_only, args, "bmu+scatter_32chunks")
     r_xla = slope(stats_xla_scatter, args, "bmu+xla_scatter_32chunks")
+    for tiles in ((1024, 512), (1024, 1024)):
+        try:
+            slope(
+                make_stats_fused(tiles),
+                args,
+                f"bmu_fused_stats_{tiles[0]}x{tiles[1]}_32chunks",
+            )
+        except Exception as e:  # Mosaic VMEM reject is itself a result
+            emit(OUT, {
+                "probe": "epoch_anatomy",
+                "label": f"bmu_fused_stats_{tiles[0]}x{tiles[1]}_32chunks",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            })
     r_epoch = slope(full_epoch, args, "full_epoch_32chunks")
 
     print(
