@@ -13,10 +13,14 @@ MXU computes ``x_tile @ w_tileᵀ``, the VPU folds it into a running
 (min, argmin) carried in VMEM scratch across codebook tiles, and only the
 ``(N, 1)`` winner indices/values leave the chip.
 
-Architecture (round 2, measurement-driven): the kernel is VMEM-bandwidth
-bound, not MXU bound — at the flagship shape (2^19×16384×64) a dot-only
-probe ran 10.3 ms while every additional full pass over the (TN, TJ)
-distance tile costs ~10 ms; the MXU FLOP floor is ~7 ms. Two consequences:
+Architecture (round 2, measurement-driven): every extra full pass over
+the (TN, TJ) distance tile costs real time — at the flagship shape
+(2^19×16384×64) a dot-only probe ran 10.3 ms and each additional
+elementwise pass ~10 ms. (Round-3 correction: with the single-GEMM
+form shipped, the packed kernel is MXU-bound at D=64 — the clean
+packed−bf16 gap equals the GEMM-size delta at ~87% of the FLOP floor,
+BASELINE.md round 3 — so the bandwidth argument justifies the fused
+design, not the current bottleneck.) Two consequences:
 
 - **Everything arithmetic is folded into ONE augmented GEMM.** The right
   operand stacks bf16 splits of ``-2·wᵀ`` with an *exact* 3-term bf16
