@@ -197,6 +197,26 @@ def test_train_parity_vs_golden_on_chip():
     assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
 
 
+def test_hex_train_parity_vs_golden_on_chip(record):
+    """Hexagonal end-to-end on the chip: the per-parity-class separable
+    neighborhood operator (round 3 — replaced the pairwise (TB, XY)
+    contraction; exactness pinned vs dense on CPU) must track the float64
+    golden model's QE through a full training run on smooth gaussian
+    neighborhoods (no near-tie chaos on uniform data)."""
+    rng = np.random.RandomState(9)
+    data = rng.rand(4096, 16).astype(np.float32)
+    som = XPySom(12, 12, 16, sigma=3.0, topology="hexagonal", random_seed=11)
+    golden = GoldenSom(12, 12, 16, sigma=3.0, topology="hexagonal", random_seed=11)
+    golden.weights = som.get_weights().astype(np.float64).copy()
+    som.train(data, 5)
+    golden.train(data, 5)
+    qe_s = som.quantization_error(data)
+    qe_g = golden.quantization_error(data)
+    record("hex_train_qe_tpu", float(qe_s))
+    record("hex_train_qe_golden", float(qe_g))
+    assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
+
+
 def test_no_pallas_fallback_matches_kernel_path(tmp_path):
     """XPYSOM_TPU_NO_PALLAS=1 (the reference's _no_opt analog) must train
     to a codebook of the same quality as the fused-kernel path. The env

@@ -14,6 +14,11 @@ SOM (HBM traffic on the ``(N, XY)`` distance matrix):
   dominant memory-bound materialization the XLA path pays.
 - ``manhattan``: tiled |x-w| distance-MATRIX kernel (the CUDA kernel's
   direct counterpart, for when the full matrix is wanted).
+- ``stats`` / ``fused_stats``: measured-NEGATIVE scatter experiments kept
+  as re-measurement hooks — the standalone VMEM-accumulator scatter and
+  the in-kernel BMU+stats fusion both lost the in-context ranking to the
+  XLA scatter-add (BASELINE.md round 3); neither is dispatched by any
+  model path (``stats`` only via ``XPYSOM_MOSAIC_SCATTER=1``).
 """
 
 from . import autotune, bmu, manhattan  # noqa: F401
