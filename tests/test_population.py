@@ -1,0 +1,208 @@
+"""SomPopulation: P-member batched training vs serial XPySom parity.
+
+The population path reformulates per-member training as one concatenated-
+codebook program (models/population.py); these tests pin that the batched
+program computes the SAME math as P serial single-model trains, that
+per-member hyperparameters actually flow, and that the data-parallel mesh
+variant matches the single-device one.
+
+Comparison discipline (CLAUDE.md / MIGRATION.md): trained weights are
+compared across programs only at ONE epoch. The concatenated (chunk, P·XY)
+GEMM rounds last-ulp differently from the serial (chunk, XY) GEMM (measured
+Δd ≈ 6e-5 at |d| ~ O(1)), and after an epoch the neighborhood-collapsed
+codebook has BMU margins at/below f32 resolution (exact 0.0 ties measured)
+— so multi-epoch trajectories separate chaotically between ANY two
+formulations of the same math. Multi-epoch parity is therefore pinned on
+quantization error, the project's cross-implementation metric.
+"""
+
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+import jax
+
+from xpysom_dask_tpu import SomPopulation, XPySom
+
+
+def _blobs(n=240, d=8, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, d).astype(np.float32)
+
+
+def test_population_one_epoch_matches_serial_bitwise_class():
+    """After ONE epoch (pre-collapse: no BMU near-ties) every member matches
+    its serial twin to fp-noise."""
+    data = _blobs()
+    sigmas = [1.0, 2.0, 3.0]
+    lrs = [0.5, 0.3, 0.7]
+    pop = SomPopulation(
+        3, 6, 5, 8, sigma=sigmas, learning_rate=lrs, random_seed=11
+    )
+    pop.train(data, 3, iter_beg=0, iter_end=1)
+    for i in range(3):
+        ref = XPySom(
+            6, 5, 8, sigma=sigmas[i], learning_rate=lrs[i], random_seed=11 + i
+        )
+        ref.train(data, 3, iter_beg=0, iter_end=1)
+        np.testing.assert_allclose(
+            pop.member(i).get_weights(), ref.get_weights(), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_population_multi_epoch_qe_matches_serial():
+    data = _blobs()
+    sigmas = [1.0, 2.0, 3.0]
+    pop = SomPopulation(3, 6, 5, 8, sigma=sigmas, random_seed=11)
+    pop.train(data, 4)
+    for i in range(3):
+        ref = XPySom(6, 5, 8, sigma=sigmas[i], random_seed=11 + i)
+        ref.train(data, 4)
+        assert pop.member(i).quantization_error(data) == pytest.approx(
+            ref.quantization_error(data), rel=0.05
+        )
+
+
+def test_population_quantization_errors_match_members():
+    data = _blobs(n=180)
+    pop = SomPopulation(3, 5, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=4)
+    pop.train(data, 2)
+    qes = pop.quantization_errors(data)
+    assert qes.shape == (3,)
+    for i in range(3):
+        assert qes[i] == pytest.approx(
+            pop.member(i).quantization_error(data), rel=1e-4
+        )
+
+
+def test_best_returns_lowest_qe_member():
+    data = _blobs(n=200)
+    # wildly different learning rates → members genuinely differ
+    pop = SomPopulation(
+        3, 5, 5, 8, learning_rate=[0.9, 0.5, 0.01], random_seed=7
+    )
+    pop.train(data, 3)
+    qes = pop.quantization_errors(data)
+    best = pop.best(data)
+    assert best is pop.member(int(np.argmin(qes)))
+    # and it is a working XPySom
+    assert best.predict(data[:5]).shape == (5,)
+    assert best.quantization(data[:5]).shape == (5, 8)
+
+
+def test_per_member_hyperparams_flow():
+    """Same seed, different sigma → different trained codebooks."""
+    data = _blobs(n=160)
+    pop = SomPopulation(2, 6, 6, 8, sigma=[0.5, 3.0], random_seed=[5, 5])
+    w0_init = pop.member(0).get_weights().copy()
+    np.testing.assert_allclose(w0_init, pop.member(1).get_weights())
+    pop.train(data, 2)
+    assert not np.allclose(
+        pop.member(0).get_weights(), pop.member(1).get_weights()
+    )
+
+
+def test_seed_broadcast_and_validation():
+    pop = SomPopulation(3, 4, 4, 6, random_seed=9)
+    # int seed → member i seeded with seed+i: inits all differ
+    w = pop.weights
+    assert w.shape == (3, 4, 4, 6)
+    assert not np.allclose(w[0], w[1]) and not np.allclose(w[1], w[2])
+
+    with pytest.raises(ValueError, match="length-3"):
+        SomPopulation(3, 4, 4, 6, sigma=[1.0, 2.0])
+    with pytest.raises(ValueError, match="n_members"):
+        SomPopulation(0, 4, 4, 6)
+    with pytest.raises(ValueError):
+        SomPopulation(2, 4, 4, 6, neighborhood_function="nope")
+
+
+def test_population_mesh_matches_single_device():
+    data = _blobs(n=300)
+    kw = dict(sigma=[1.0, 2.0], learning_rate=[0.4, 0.6], random_seed=2)
+    pop1 = SomPopulation(2, 5, 4, 8, **kw)
+    pop1.train(data, 2, iter_beg=0, iter_end=1)
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, axis_names=("data",))
+    pop2 = SomPopulation(2, 5, 4, 8, mesh=mesh, **kw)
+    pop2.train(data, 2, iter_beg=0, iter_end=1)
+
+    # one epoch: weights parity across the psum/single-device programs
+    np.testing.assert_allclose(pop1.weights, pop2.weights, rtol=1e-5, atol=1e-6)
+
+    # full run: QE parity (multi-epoch weights are chaos-sensitive)
+    pop1.train(data, 2, iter_beg=1, iter_end=2)
+    pop2.train(data, 2, iter_beg=1, iter_end=2)
+    np.testing.assert_allclose(
+        pop1.quantization_errors(data),
+        pop2.quantization_errors(data),
+        rtol=0.05,
+    )
+
+
+def test_population_grid_mesh_rejected():
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("data", "model"))
+    with pytest.raises(ValueError, match="data-parallel"):
+        SomPopulation(2, 4, 4, 6, mesh=mesh)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(topology="hexagonal"),
+        dict(neighborhood_function="mexican_hat"),
+        dict(decay_function="linear"),
+        dict(activation_distance="cosine"),
+        dict(activation_distance="manhattan"),
+        dict(neighborhood_function="bubble", compact_support=True),
+    ],
+    ids=["hex", "mexican_hat", "linear", "cosine", "manhattan", "bubble"],
+)
+def test_population_one_epoch_parity_nondefault(kw):
+    """Non-default configs ride the same population program: one-epoch
+    weights match the serial twin to fp-noise."""
+    data = _blobs(n=150)
+    pop = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=13, **kw)
+    pop.train(data, 2, iter_beg=0, iter_end=1)
+    for i in range(2):
+        ref = XPySom(
+            5, 5, 8, sigma=[1.0, 2.0][i], random_seed=13 + i, **kw
+        )
+        ref.train(data, 2, iter_beg=0, iter_end=1)
+        np.testing.assert_allclose(
+            pop.member(i).get_weights(), ref.get_weights(), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_population_verbose_epoch_path(capsys):
+    data = _blobs(n=120)
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    pop.train(data, 2, verbose=True)
+    out = capsys.readouterr().out
+    assert "quantization errors" in out
+
+
+def test_population_iter_segments_compose():
+    """Segmented training [0,1)+[1,3) equals one [0,3) run (same program —
+    bitwise-stable, no cross-program chaos)."""
+    data = _blobs(n=140)
+    kw = dict(sigma=[1.0, 2.0], random_seed=6)
+    pop_a = SomPopulation(2, 5, 5, 8, **kw)
+    pop_a.train(data, 3)
+    pop_b = SomPopulation(2, 5, 5, 8, **kw)
+    pop_b.train(data, 3, iter_beg=0, iter_end=1)
+    pop_b.train(data, 3, iter_beg=1, iter_end=3)
+    np.testing.assert_allclose(pop_a.weights, pop_b.weights, rtol=1e-5)
+
+
+def test_population_single_member_degenerate():
+    """P=1 is just a slower XPySom — exact one-epoch parity."""
+    data = _blobs(n=100)
+    pop = SomPopulation(1, 5, 5, 8, sigma=1.5, random_seed=21)
+    pop.train(data, 2, iter_beg=0, iter_end=1)
+    ref = XPySom(5, 5, 8, sigma=1.5, random_seed=21)
+    ref.train(data, 2, iter_beg=0, iter_end=1)
+    np.testing.assert_allclose(
+        pop.member(0).get_weights(), ref.get_weights(), rtol=1e-6, atol=1e-7
+    )

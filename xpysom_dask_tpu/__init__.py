@@ -10,8 +10,9 @@ Public surface mirrors the reference package root (``__init__.py:1``):
 importable as submodules.
 """
 
+from .models.population import SomPopulation
 from .models.som import XPySom
 
 __version__ = "0.1.0"
 
-__all__ = ["XPySom", "__version__"]
+__all__ = ["XPySom", "SomPopulation", "__version__"]

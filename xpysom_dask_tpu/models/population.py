@@ -1,0 +1,416 @@
+"""Population training: P same-shape SOMs in one compiled program.
+
+A beyond-reference capability (no counterpart in ``xpysom_dask``): the
+standard SOM model-selection workflow — train many maps that differ only
+in random seed, σ schedule, or learning-rate schedule, then keep the one
+with the lowest quantization error (Kohonen's recommended practice) — runs
+serially in the reference, once per candidate. On a TPU that is the worst
+case: a small map (say 24×24) leaves the MXU almost idle, and the sweep
+pays full dispatch + underutilization per member.
+
+TPU-first redesign: stack the P codebooks into ONE ``(P·XY, D)`` matrix so
+the BMU search of *every member* is a single large MXU GEMM per data chunk
+(``(chunk, D) @ (D, P·XY)``), recover per-member winners with a block
+argmin over the reshaped ``(chunk, P, XY)`` distances, scatter the shared
+augmented rows ``[x | 1]·mask`` into per-member sufficient statistics with
+one vmapped scatter-add, and apply the per-member neighborhood update under
+``jax.vmap`` (each member carries its own traced ``(η_t, σ_t)``; the decay
+schedules stay static per member and unroll at trace time). The entire
+P-member multi-epoch sweep is ONE ``lax.fori_loop`` executable — zero host
+round-trips, and throughput scales with how far a single member was from
+saturating the chip.
+
+Per-member knobs: ``random_seed``, ``sigma``, ``sigmaN``,
+``learning_rate``, ``learning_rateN`` (scalar = shared, length-P sequence =
+per member). Everything that shapes the compiled computation — grid size,
+topology, neighborhood, decay family, activation distance — is shared
+across the population (that is what makes the batched program one program).
+
+Members are real ``XPySom`` objects: ``member(i)`` (or ``best(data)``)
+returns a fully-functional model — predict/distance_map/serialization all
+work — whose weights are the population-trained codebook.
+
+The fused Pallas BMU kernel is NOT used here: it computes one global
+argmin, while this path needs a per-member block argmin — and the
+concatenated distance GEMM is already MXU-shaped at the small-map sizes
+population sweeps target (for one big map, use ``XPySom`` directly, where
+the fused kernel wins).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P_, Mesh
+
+from .. import core
+from ..core import SomSpec, chunk_data
+from ..ops.decays import DECAY_REGISTRY
+from ..ops.distances import DistanceFunction, euclidean_squared_distance_part
+from ..parallel.mesh import data_sharding, replicated_sharding, resolve_mesh
+from ..utils.hw import default_n_parallel, round_up
+from ..utils.progress import ProgressReporter
+from .som import XPySom, _as_numpy_2d
+
+__all__ = ["SomPopulation"]
+
+_F32 = jnp.float32
+
+
+def _pop_decays(specs, t, num_epochs):
+    """Per-member (η_t, σ_t) from each member's *static* schedule and the
+    traced epoch index ``t``. Unrolls over members at trace time (P is
+    small), keeping the decay functions' Python-level ``valN == 0``
+    branches intact (ops/decays.py)."""
+    decay = DECAY_REGISTRY[specs[0].decay]
+    eta = jnp.stack(
+        [decay(s.learning_rate, s.learning_rateN, t, num_epochs) for s in specs]
+    )
+    sig = jnp.stack([decay(s.sigma, s.sigmaN, t, num_epochs) for s in specs])
+    return eta, sig
+
+
+def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
+    """Pure epoch step over the stacked population codebook:
+    ``step(w, data, mask, t) -> w'`` with ``w`` of shape ``(P, XY, D)``."""
+    spec0 = specs[0]
+    n_pop = len(specs)
+    xy = spec0.xy
+    d_dim = spec0.input_len
+    dist = spec0.distance_fn()
+
+    def step(w, data, mask, t):
+        w_big = w.reshape(n_pop * xy, d_dim)
+        w_sq = (
+            jnp.sum(jnp.square(w_big), axis=1, keepdims=True)
+            if dist.can_cache
+            else None
+        )
+
+        def body(carry, xs):
+            x, m = xs
+            # one MXU GEMM covers every member's distance matrix
+            dmat = dist.flat(x, w_big, w_sq)  # (chunk, P·XY)
+            bmu = jnp.argmin(
+                dmat.reshape(x.shape[0], n_pop, xy), axis=2
+            )  # (chunk, P), first-index ties like the single-model path
+            aug = (
+                jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
+                * m[:, None]
+            )
+            part = jax.vmap(
+                lambda b: jnp.zeros((xy, d_dim + 1), _F32).at[b].add(aug)
+            )(bmu.T)
+            return carry + part, None
+
+        init = jnp.zeros((n_pop, xy, d_dim + 1), dtype=_F32)
+        acc, _ = jax.lax.scan(body, init, (data, mask))
+        if psum_axis is not None:
+            acc = jax.lax.psum(acc, psum_axis)
+        s, cnt = acc[..., :d_dim], acc[..., d_dim]
+        eta, sig = _pop_decays(specs, t, num_epochs)
+        upd = jax.vmap(
+            lambda wf, si, ci, e, g: core._update_from_stats(spec0, wf, si, ci, e, g)
+        )
+        return upd(w, s, cnt, eta, sig)
+
+    return step
+
+
+@lru_cache(maxsize=32)
+def make_population_epoch_fn(specs, num_epochs: int, mesh: Optional[Mesh] = None):
+    """Compile one population epoch: ``epoch(w, data, mask, t) -> w'``."""
+    if mesh is None:
+        return jax.jit(_make_pop_epoch_step(specs, num_epochs), donate_argnums=(0,))
+    step = _make_pop_epoch_step(specs, num_epochs, psum_axis="data")
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P_(), P_("data"), P_("data"), P_()),
+        out_specs=P_(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def make_population_train_fn(specs, num_epochs: int, mesh: Optional[Mesh] = None):
+    """Compile a whole population sweep:
+    ``train(w, data, mask, iter_beg, iter_end) -> w'`` — every member, every
+    epoch, one executable (mirrors ``core.make_train_fn``)."""
+    psum_axis = "data" if mesh is not None else None
+    step = _make_pop_epoch_step(specs, num_epochs, psum_axis=psum_axis)
+
+    def run(w, data, mask, iter_beg, iter_end):
+        def body(t, w):
+            return step(w, data, mask, t)
+
+        return jax.lax.fori_loop(iter_beg, iter_end, body, w)
+
+    if mesh is None:
+        return jax.jit(run, donate_argnums=(0,))
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P_(), P_("data"), P_("data"), P_(), P_()),
+        out_specs=P_(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=32)
+def make_population_qe_fn(spec0: SomSpec, n_pop: int, mesh: Optional[Mesh] = None):
+    """Compile per-member quantization-error statistics:
+    ``qstats(w, data, mask) -> (Σ‖x − W_p[bmu_p]‖ per member, Σ mask)``.
+    BMU by *euclidean* distance regardless of the activation distance, like
+    the single-model path (reference rule, xpysom.py:632-645)."""
+    xy = spec0.xy
+    d_dim = spec0.input_len
+
+    def run(w, data, mask):
+        w_big = w.reshape(n_pop * xy, d_dim)
+        w_sq = jnp.sum(jnp.square(w_big), axis=1, keepdims=True)
+
+        def body(carry, xs):
+            tot, n = carry
+            x, m = xs
+            dmat = euclidean_squared_distance_part(x, w_big, w_sq)
+            bmu = jnp.argmin(dmat.reshape(x.shape[0], n_pop, xy), axis=2)
+            res = jax.vmap(lambda wp, bp: x - wp[bp], in_axes=(0, 1))(w, bmu)
+            err = jnp.linalg.norm(res, axis=2)  # (P, chunk)
+            return (tot + jnp.sum(err * m[None, :], axis=1), n + jnp.sum(m)), None
+
+        init = (jnp.zeros((n_pop,), _F32), jnp.float32(0))
+        (tot, n), _ = jax.lax.scan(body, init, (data, mask))
+        if mesh is not None:
+            tot = jax.lax.psum(tot, "data")
+            n = jax.lax.psum(n, "data")
+        return tot, n
+
+    if mesh is None:
+        return jax.jit(run)
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P_(), P_("data"), P_("data")),
+        out_specs=(P_(), P_()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _broadcast(value, n, name):
+    """Scalar → length-n list; sequence → validated length-n list."""
+    if np.ndim(value) == 0:
+        return [value] * n
+    seq = list(value)
+    if len(seq) != n:
+        raise ValueError(
+            f"{name} must be a scalar or a length-{n} sequence, got length "
+            f"{len(seq)}"
+        )
+    return seq
+
+
+class SomPopulation:
+    """P same-shape SOMs trained concurrently in one compiled program.
+
+    Per-member arguments (``sigma``, ``sigmaN``, ``learning_rate``,
+    ``learning_rateN``, ``random_seed``) accept a scalar (shared) or a
+    length-``n_members`` sequence. An int ``random_seed`` seeds member i
+    with ``random_seed + i`` so members start from distinct codebooks.
+    All other arguments match ``XPySom`` and are shared.
+
+    Typical model-selection sweep::
+
+        pop = SomPopulation(16, 24, 24, d, sigma=sigmas, random_seed=0)
+        pop.train(data, 10)
+        som = pop.best(data)        # lowest-QE member, a normal XPySom
+    """
+
+    def __init__(
+        self,
+        n_members,
+        x,
+        y,
+        input_len,
+        sigma=0,
+        sigmaN=1,
+        learning_rate=0.5,
+        learning_rateN=0.01,
+        decay_function="exponential",
+        neighborhood_function="gaussian",
+        std_coeff=0.5,
+        topology="rectangular",
+        activation_distance="euclidean",
+        activation_distance_kwargs={},
+        random_seed=None,
+        n_parallel=0,
+        compact_support=False,
+        mesh=None,
+    ):
+        if not isinstance(n_members, (int, np.integer)) or n_members < 1:
+            raise ValueError(f"n_members must be a positive int, got {n_members!r}")
+        self._n_members = int(n_members)
+
+        sigmas = _broadcast(sigma, n_members, "sigma")
+        sigmaNs = _broadcast(sigmaN, n_members, "sigmaN")
+        lrs = _broadcast(learning_rate, n_members, "learning_rate")
+        lrNs = _broadcast(learning_rateN, n_members, "learning_rateN")
+        if random_seed is None or np.ndim(random_seed) == 0:
+            base = random_seed
+            seeds = [None if base is None else int(base) + i for i in range(n_members)]
+        else:
+            seeds = _broadcast(random_seed, n_members, "random_seed")
+
+        # Budget the training chunk against the CONCATENATED (chunk, P·XY)
+        # distance matrix — the per-chunk transient this path materializes.
+        if n_parallel == 0:
+            n_parallel = default_n_parallel(self._n_members * x * y, fused=False)
+
+        # Each member is a real XPySom: construction validates every shared
+        # argument with the reference's ValueErrors and reproduces the
+        # reference's per-seed random init exactly (som.py random init).
+        self._members_list = [
+            XPySom(
+                x,
+                y,
+                input_len,
+                sigma=sigmas[i],
+                sigmaN=sigmaNs[i],
+                learning_rate=lrs[i],
+                learning_rateN=lrNs[i],
+                decay_function=decay_function,
+                neighborhood_function=neighborhood_function,
+                std_coeff=std_coeff,
+                topology=topology,
+                activation_distance=activation_distance,
+                activation_distance_kwargs=activation_distance_kwargs,
+                random_seed=seeds[i],
+                n_parallel=n_parallel,
+                compact_support=compact_support,
+            )
+            for i in range(n_members)
+        ]
+        self._x, self._y, self._input_len = x, y, input_len
+        self._n_parallel = int(n_parallel)
+
+        self._mesh = resolve_mesh(mesh)
+        if self._mesh is not None and "model" in self._mesh.axis_names:
+            raise ValueError(
+                "SomPopulation supports 1-D data-parallel meshes only "
+                "(a 'data' axis); grid-sharded (data, model) meshes apply "
+                "to single large maps via XPySom(mesh=...)"
+            )
+
+    # -- population state ----------------------------------------------------
+
+    @property
+    def n_members(self) -> int:
+        return self._n_members
+
+    @property
+    def members(self) -> Sequence[XPySom]:
+        """The live member models (views, not copies)."""
+        return list(self._members_list)
+
+    def member(self, i: int) -> XPySom:
+        return self._members_list[i]
+
+    @property
+    def weights(self) -> np.ndarray:
+        """Stacked member codebooks, shape ``(P, X, Y, D)``."""
+        return np.stack(
+            [np.asarray(m._weights, dtype=np.float32) for m in self._members_list]
+        )
+
+    def _specs(self):
+        return tuple(m._spec for m in self._members_list)
+
+    def _stacked_device_weights(self):
+        w = self.weights.reshape(
+            self._n_members, self._x * self._y, self._input_len
+        )
+        if self._mesh is not None:
+            return jax.device_put(w, replicated_sharding(self._mesh))
+        return jnp.asarray(w)
+
+    def _chunked(self, data2d: np.ndarray):
+        n = data2d.shape[0]
+        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        n_shards = 1 if self._mesh is None else self._mesh.devices.size
+        chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
+        if self._mesh is not None:
+            sh = data_sharding(self._mesh)
+            return jax.device_put(chunks, sh), jax.device_put(mask, sh), n
+        return jnp.asarray(chunks), jnp.asarray(mask), n
+
+    def _write_back(self, w):
+        w_host = np.asarray(jax.device_get(w), dtype=np.float32)
+        for i, m in enumerate(self._members_list):
+            m._weights = w_host[i].reshape(self._x, self._y, self._input_len)
+
+    # -- training / evaluation ------------------------------------------------
+
+    def train(self, data, num_epochs, iter_beg=0, iter_end=None, verbose=False):
+        """Train every member on ``data`` for epochs ``[iter_beg, iter_end)``
+        of a ``num_epochs`` schedule — one fused executable for the whole
+        sweep (per-epoch dispatch only under ``verbose`` for progress)."""
+        if iter_end is None:
+            iter_end = num_epochs
+        data2d = _as_numpy_2d(data)
+        if data2d.shape[1] != self._input_len:
+            raise ValueError(
+                "Received %d features, expected %d."
+                % (data2d.shape[1], self._input_len)
+            )
+        chunks, mask, n = self._chunked(data2d)
+        w = self._stacked_device_weights()
+        specs = self._specs()
+
+        if verbose:
+            epoch_fn = make_population_epoch_fn(specs, num_epochs, self._mesh)
+            reporter = ProgressReporter(num_epochs * n)
+            reporter.start()
+            for t in range(iter_beg, iter_end):
+                w = epoch_fn(w, chunks, mask, jnp.int32(t))
+                reporter.update(t * n + n - 1)
+        else:
+            train_fn = make_population_train_fn(specs, num_epochs, self._mesh)
+            w = train_fn(w, chunks, mask, jnp.int32(iter_beg), jnp.int32(iter_end))
+
+        self._write_back(w)
+        if verbose:
+            print("\n quantization errors:", self.quantization_errors(data2d))
+        return self
+
+    def quantization_errors(self, data) -> np.ndarray:
+        """Per-member quantization error, shape ``(P,)`` — every member
+        evaluated by one compiled scan over the data."""
+        data2d = _as_numpy_2d(data)
+        chunks, mask, _ = self._chunked(data2d)
+        qe_fn = make_population_qe_fn(
+            self._members_list[0]._spec, self._n_members, self._mesh
+        )
+        tot, n = qe_fn(self._stacked_device_weights(), chunks, mask)
+        n = float(n)
+        if n == 0:
+            raise ValueError("quantization_errors over an empty data set")
+        return np.asarray(jax.device_get(tot)) / n
+
+    def best(self, data) -> XPySom:
+        """The member with the lowest quantization error on ``data`` — a
+        normal ``XPySom`` carrying its population-trained codebook."""
+        qes = self.quantization_errors(data)
+        return self._members_list[int(np.argmin(qes))]
+
+    def __repr__(self):
+        return (
+            f"SomPopulation(n_members={self._n_members}, x={self._x}, "
+            f"y={self._y}, input_len={self._input_len})"
+        )
