@@ -196,6 +196,41 @@ def test_population_iter_segments_compose():
     np.testing.assert_allclose(pop_a.weights, pop_b.weights, rtol=1e-5)
 
 
+def test_population_pickle_roundtrip():
+    """Pickling drops device handles; trained state survives the trip."""
+    import pickle
+
+    data = _blobs(n=120)
+    pop = SomPopulation(2, 4, 4, 8, sigma=[1.0, 2.0], random_seed=8)
+    pop.train(data, 2)
+    clone = pickle.loads(pickle.dumps(pop))
+    np.testing.assert_allclose(clone.weights, pop.weights)
+    np.testing.assert_allclose(
+        clone.quantization_errors(data), pop.quantization_errors(data), rtol=1e-6
+    )
+
+
+def test_member_init_flows_into_population_training():
+    """Codebook init applied to a member (pca/random/custom) is the state
+    population training starts from — weights are read from members at
+    each train call."""
+    data = _blobs(n=160)
+    pop = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=3)
+    pop.member(0).pca_weights_init(data)
+    w_init = pop.weights.copy()
+    pop.train(data, 3, iter_beg=0, iter_end=0)  # zero epochs: passthrough
+    np.testing.assert_allclose(pop.weights, w_init, rtol=1e-6)
+
+    # and a real train from pca init matches the serial twin at one epoch
+    pop.train(data, 2, iter_beg=0, iter_end=1)
+    ref = XPySom(5, 5, 8, sigma=1.0, random_seed=3)
+    ref.pca_weights_init(data)
+    ref.train(data, 2, iter_beg=0, iter_end=1)
+    np.testing.assert_allclose(
+        pop.member(0).get_weights(), ref.get_weights(), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_population_single_member_degenerate():
     """P=1 is just a slower XPySom — exact one-epoch parity."""
     data = _blobs(n=100)

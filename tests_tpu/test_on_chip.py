@@ -217,6 +217,31 @@ def test_hex_train_parity_vs_golden_on_chip(record):
     assert abs(qe_s - qe_g) / qe_g < 5e-4, (qe_s, qe_g)
 
 
+def test_population_train_parity_on_chip(record):
+    """SomPopulation on the chip: the batched P-member program (one
+    concatenated-codebook GEMM, vmapped scatter + update) must track the
+    float64 golden model's QE per member through a full training run —
+    same bar as the single-model parity test above."""
+    from xpysom_dask_tpu import SomPopulation
+
+    rng = np.random.RandomState(9)
+    data = rng.rand(4096, 16).astype(np.float32)
+    sigmas = [2.0, 3.0, 4.0]
+    pop = SomPopulation(3, 12, 12, 16, sigma=sigmas, random_seed=11)
+    goldens = []
+    for i in range(3):
+        g = GoldenSom(12, 12, 16, sigma=sigmas[i], random_seed=11)
+        g.weights = pop.member(i).get_weights().astype(np.float64).copy()
+        goldens.append(g)
+    pop.train(data, 5)
+    qes = pop.quantization_errors(data)
+    for i, g in enumerate(goldens):
+        g.train(data, 5)
+        qe_g = g.quantization_error(data)
+        record(f"population_qe_member{i}_tpu", float(qes[i]))
+        assert abs(qes[i] - qe_g) / qe_g < 5e-4, (i, qes[i], qe_g)
+
+
 def test_no_pallas_fallback_matches_kernel_path(tmp_path):
     """XPYSOM_TPU_NO_PALLAS=1 (the reference's _no_opt analog) must train
     to a codebook of the same quality as the fused-kernel path. The env

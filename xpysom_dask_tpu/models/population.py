@@ -414,3 +414,13 @@ class SomPopulation:
             f"SomPopulation(n_members={self._n_members}, x={self._x}, "
             f"y={self._y}, input_len={self._input_len})"
         )
+
+    # -- serialization ---------------------------------------------------------
+
+    def __getstate__(self):
+        """Pickle support: drop the live mesh handle (members handle their
+        own device state in ``XPySom.__getstate__``); re-resolve as
+        single-device on load — pass ``mesh=`` again to re-shard."""
+        state = self.__dict__.copy()
+        state["_mesh"] = None
+        return state
