@@ -81,3 +81,101 @@ def test_core_gate_requires_env_opt_in(monkeypatch):
     # and even WITH the hook, the CPU backend still refuses
     monkeypatch.setenv("XPYSOM_MOSAIC_SCATTER", "1")
     assert not core._use_mosaic_scatter(None, 128, 8)
+
+
+class TestSplitScatter:
+    """Lane-boundary split scatter (round 3): S and cnt scatter
+    separately when ``[x | 1]`` would pad a whole extra 128-lane tile."""
+
+    def test_gate(self, monkeypatch):
+        from xpysom_dask_tpu.core import _use_split_scatter
+
+        monkeypatch.delenv("XPYSOM_SPLIT_SCATTER", raising=False)
+        assert _use_split_scatter(128)
+        assert _use_split_scatter(512)
+        assert not _use_split_scatter(64)   # 65 and 64 both pad to 128
+        assert not _use_split_scatter(513)  # 514 rounds to the same tile
+        assert not _use_split_scatter(3)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "1")
+        assert _use_split_scatter(64)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "0")
+        assert not _use_split_scatter(512)
+
+    @pytest.mark.parametrize("d", [64, 128])
+    def test_split_matches_fused(self, d, monkeypatch):
+        """Both formulations of _accumulate_stats produce the same
+        (S, cnt) — same adds, per-chunk partials in both modes."""
+        from xpysom_dask_tpu import core
+        from xpysom_dask_tpu.models.som import XPySom
+
+        som = XPySom(6, 5, d, random_seed=7)
+        spec = som._spec
+        dist = spec.distance_fn()
+        rng = np.random.RandomState(d)
+        data = jnp.asarray(rng.rand(3, 100, d).astype(np.float32))
+        mask = jnp.asarray((rng.rand(3, 100) > 0.1).astype(np.float32))
+        w = jnp.asarray(som._weights.reshape(30, d))
+        w_sq = jnp.sum(jnp.square(w), axis=1, keepdims=True)
+
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "0")
+        s0, c0 = core._accumulate_stats(dist, w, w_sq, data, mask, 30, spec)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "1")
+        s1, c1 = core._accumulate_stats(dist, w, w_sq, data, mask, 30, spec)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=0)
+
+    def test_train_parity_at_lane_boundary(self, monkeypatch):
+        """End-to-end: a D=128 training run (split auto-ON) matches the
+        same run with the split forced OFF."""
+        from xpysom_dask_tpu.models.som import XPySom
+
+        rng = np.random.RandomState(0)
+        data = rng.rand(400, 128).astype(np.float32)
+
+        def train(env):
+            monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", env)
+            som = XPySom(7, 6, 128, sigma=2.0, random_seed=11)
+            som.train(data, num_epochs=3)
+            return som.get_weights()
+
+        w_off = train("0")
+        w_on = train("1")
+        np.testing.assert_allclose(w_on, w_off, rtol=2e-5, atol=1e-6)
+
+    def test_grid_sharded_split_parity(self, monkeypatch):
+        """Split scatter through the 2-D (data, model) mesh matches the
+        single-device fused-scatter run."""
+        import jax
+        from xpysom_dask_tpu import XPySom
+        from xpysom_dask_tpu.parallel.grid_sharded import make_grid_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        rng = np.random.RandomState(5)
+        data = rng.rand(300, 16).astype(np.float32)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "0")
+        single = XPySom(8, 4, 16, random_seed=3, n_parallel=64)
+        single.train(data, 3)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "1")
+        sharded = XPySom(
+            8, 4, 16, random_seed=3, n_parallel=64, mesh=make_grid_mesh(2, 4)
+        )
+        sharded.train(data, 3)
+        np.testing.assert_allclose(
+            sharded._weights, single._weights, rtol=1e-4, atol=1e-5
+        )
+
+    def test_population_split_parity(self, monkeypatch):
+        """Split scatter in the population sweep matches the fused run."""
+        from xpysom_dask_tpu import SomPopulation
+
+        rng = np.random.RandomState(9)
+        data = rng.rand(200, 8).astype(np.float32)
+
+        def run(env):
+            monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", env)
+            pop = SomPopulation(3, 4, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=2)
+            pop.train(data, 3)
+            return np.asarray(pop.weights)
+
+        np.testing.assert_allclose(run("1"), run("0"), rtol=1e-5, atol=1e-6)

@@ -311,6 +311,26 @@ def _use_mosaic_scatter(spec, xy: int, d_dim: int) -> bool:
     return fits_vmem(xy, d_dim)
 
 
+def _use_split_scatter(d_dim: int) -> bool:
+    """Scatter ``S`` and ``cnt`` separately instead of as one augmented
+    ``[x | 1]`` row? Auto-on exactly when the +1 column crosses a
+    128-lane tile boundary (``d_dim % 128 == 0``): TPU HBM layouts pad
+    the minor dim to 128-lane multiples, so the augmented row then
+    carries a whole extra lane tile of scatter RMW traffic for one
+    useful column (D=512: 513→640 lanes, +25%; D=128: 129→256, +100%),
+    while the split keeps the S scatter at exact lanes and the cnt
+    scatter is a tiny (N,)→(XY,) add. When D+1 rounds to the same tile
+    (e.g. the D=64 flagship, 65→128 either way) the single fused
+    scatter wins — one scatter pass instead of two.
+    ``XPYSOM_SPLIT_SCATTER=0/1`` forces (trace-time measurement hook)."""
+    import os
+
+    env = os.environ.get("XPYSOM_SPLIT_SCATTER")
+    if env is not None and env != "":
+        return env != "0"
+    return d_dim >= 128 and d_dim % 128 == 0
+
+
 def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec=None):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
@@ -321,7 +341,9 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec
     kernel, whose standalone 3.5× was an isolation artifact; one-window
     slope anatomy, BASELINE.md round 3). The Mosaic kernel
     (``ops/pallas/stats.py``) stays behind ``XPYSOM_MOSAIC_SCATTER=1``
-    as a re-measurement hook.
+    as a re-measurement hook. At lane-boundary widths the augmented row
+    pads a whole extra 128-lane tile, so there the scatter splits into
+    separate S / cnt scatters instead (``_use_split_scatter``).
 
     Each chunk scatters into a *fresh* per-chunk partial which is then
     added to the carry: scattering +1.0 rows directly into a large f32
@@ -331,6 +353,25 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec
 
     d_dim = data.shape[-1]
     mosaic_scatter = _use_mosaic_scatter(spec, xy, d_dim)
+    split_scatter = not mosaic_scatter and _use_split_scatter(d_dim)
+
+    if split_scatter:
+
+        def body(carry, xs):
+            s_acc, c_acc = carry
+            x, m = xs
+            bmu = _bmu_chunk(dist, x, w_flat, w_sq, spec)
+            xm = x * m[:, None]
+            s_part = jnp.zeros((xy, d_dim), dtype=_F32).at[bmu].add(xm)
+            c_part = jnp.zeros((xy,), dtype=_F32).at[bmu].add(m)
+            return (s_acc + s_part, c_acc + c_part), None
+
+        init = (
+            jnp.zeros((xy, d_dim), dtype=_F32),
+            jnp.zeros((xy,), dtype=_F32),
+        )
+        (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+        return s, cnt
 
     def body(carry, xs):
         x, m = xs

@@ -91,6 +91,8 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
             else None
         )
 
+        split = core._use_split_scatter(d_dim)
+
         def body(carry, xs):
             x, m = xs
             # one MXU GEMM covers every member's distance matrix
@@ -98,6 +100,18 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
             bmu = jnp.argmin(
                 dmat.reshape(x.shape[0], n_pop, xy), axis=2
             )  # (chunk, P), first-index ties like the single-model path
+            if split:
+                # lane-boundary widths: separate S / cnt scatters, see
+                # core._use_split_scatter
+                s_acc, c_acc = carry
+                xm = x * m[:, None]
+                s_part = jax.vmap(
+                    lambda b: jnp.zeros((xy, d_dim), _F32).at[b].add(xm)
+                )(bmu.T)
+                c_part = jax.vmap(
+                    lambda b: jnp.zeros((xy,), _F32).at[b].add(m)
+                )(bmu.T)
+                return (s_acc + s_part, c_acc + c_part), None
             aug = (
                 jnp.concatenate([x, jnp.ones((x.shape[0], 1), _F32)], axis=1)
                 * m[:, None]
@@ -107,11 +121,21 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
             )(bmu.T)
             return carry + part, None
 
-        init = jnp.zeros((n_pop, xy, d_dim + 1), dtype=_F32)
-        acc, _ = jax.lax.scan(body, init, (data, mask))
-        if psum_axis is not None:
-            acc = jax.lax.psum(acc, psum_axis)
-        s, cnt = acc[..., :d_dim], acc[..., d_dim]
+        if split:
+            init = (
+                jnp.zeros((n_pop, xy, d_dim), dtype=_F32),
+                jnp.zeros((n_pop, xy), dtype=_F32),
+            )
+            (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+            if psum_axis is not None:
+                s = jax.lax.psum(s, psum_axis)
+                cnt = jax.lax.psum(cnt, psum_axis)
+        else:
+            init = jnp.zeros((n_pop, xy, d_dim + 1), dtype=_F32)
+            acc, _ = jax.lax.scan(body, init, (data, mask))
+            if psum_axis is not None:
+                acc = jax.lax.psum(acc, psum_axis)
+            s, cnt = acc[..., :d_dim], acc[..., d_dim]
         eta, sig = _pop_decays(specs, t, num_epochs)
         upd = jax.vmap(
             lambda wf, si, ci, e, g: core._update_from_stats(spec0, wf, si, ci, e, g)

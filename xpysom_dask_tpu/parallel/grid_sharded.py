@@ -180,6 +180,10 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
     rows = w_local.shape[0]
     offset = jax.lax.axis_index(MODEL_AXIS) * rows
     center, w_sq = _center_and_wsq(spec, dist, w_local)
+    d_dim = spec.input_len
+    from ..core import _use_split_scatter
+
+    split = _use_split_scatter(d_dim)
 
     def body(carry, xs):
         x, m = xs
@@ -188,6 +192,17 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
         mine = (bmu >= offset) & (bmu < offset + rows)
         local_idx = jnp.clip(bmu - offset, 0, rows - 1)
         contrib = m * mine.astype(_F32)
+        if split:
+            # lane-boundary widths: separate S / cnt scatters, see
+            # core._use_split_scatter
+            s_acc, c_acc = carry
+            s_part = (
+                jnp.zeros((rows, d_dim), dtype=_F32)
+                .at[local_idx]
+                .add(x * contrib[:, None])
+            )
+            c_part = jnp.zeros((rows,), dtype=_F32).at[local_idx].add(contrib)
+            return (s_acc + s_part, c_acc + c_part), None
         # fused [x | 1] scatter + fresh per-chunk partials: see
         # core._accumulate_stats (1.4× fewer serial scatter updates; f32
         # 2^24 increment-loss guard for huge-N)
@@ -198,10 +213,16 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
         part = jnp.zeros_like(carry).at[local_idx].add(aug)
         return carry + part, None
 
-    d_dim = spec.input_len
-    init = jnp.zeros((rows, d_dim + 1), dtype=_F32)
-    acc, _ = jax.lax.scan(body, init, (data, mask))
-    s, cnt = acc[:, :d_dim], acc[:, d_dim]
+    if split:
+        init = (
+            jnp.zeros((rows, d_dim), dtype=_F32),
+            jnp.zeros((rows,), dtype=_F32),
+        )
+        (s, cnt), _ = jax.lax.scan(body, init, (data, mask))
+    else:
+        init = jnp.zeros((rows, d_dim + 1), dtype=_F32)
+        acc, _ = jax.lax.scan(body, init, (data, mask))
+        s, cnt = acc[:, :d_dim], acc[:, d_dim]
     # reduce over data shards; stays sharded over model
     s = jax.lax.psum(s, DATA_AXIS)
     cnt = jax.lax.psum(cnt, DATA_AXIS)
