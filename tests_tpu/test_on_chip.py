@@ -473,3 +473,50 @@ def test_training_with_mosaic_scatter_matches_cpu_reference(record, monkeypatch)
     record("mosaic_scatter_train_qe_tpu", float(qe_t))
     record("mosaic_scatter_train_qe_golden", float(qe_g))
     assert abs(qe_t - qe_g) / qe_g < 0.02, (qe_t, qe_g)
+
+
+def test_split_scatter_matches_fused_on_chip(record):
+    """Lane-boundary split scatter (round 3): at D=512 the separate
+    S / cnt scatters must reproduce the fused [x|1] scatter bitwise on
+    the real scatter lowering (same adds, per-chunk partials both ways)."""
+    import os
+    from xpysom_dask_tpu import core
+
+    rng = np.random.RandomState(11)
+    d, xy = 512, 1024
+    data = jnp.asarray(rng.rand(2, 4096, d).astype(np.float32))
+    mask = jnp.asarray((rng.rand(2, 4096) > 0.05).astype(np.float32))
+    w = jnp.asarray(rng.rand(xy, d).astype(np.float32))
+    w_sq = jnp.sum(jnp.square(w), axis=1, keepdims=True)
+    from xpysom_dask_tpu.core import SomSpec
+
+    spec = SomSpec(
+        x=32, y=32, input_len=d, sigma=4.0, sigmaN=1.0,
+        learning_rate=0.5, learning_rateN=0.01,
+    )
+    dist = spec.distance_fn()
+
+    old = os.environ.pop("XPYSOM_SPLIT_SCATTER", None)
+    try:
+        os.environ["XPYSOM_SPLIT_SCATTER"] = "0"
+        s0, c0 = jax.jit(
+            lambda: core._accumulate_stats(dist, w, w_sq, data, mask, xy, spec)
+        )()
+        os.environ["XPYSOM_SPLIT_SCATTER"] = "1"
+        s1, c1 = jax.jit(
+            lambda: core._accumulate_stats(dist, w, w_sq, data, mask, xy, spec)
+        )()
+        s_mismatch = int((np.asarray(s1) != np.asarray(s0)).sum())
+        c_mismatch = int((np.asarray(c1) != np.asarray(c0)).sum())
+        record("split_scatter_S_elem_mismatches_vs_fused", s_mismatch)
+        record("split_scatter_cnt_elem_mismatches_vs_fused", c_mismatch)
+        # scatter-add order is implementation-defined; allow ulp-level
+        # reassociation but nothing more
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s0), rtol=1e-6, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c0))
+    finally:
+        os.environ.pop("XPYSOM_SPLIT_SCATTER", None)
+        if old is not None:
+            os.environ["XPYSOM_SPLIT_SCATTER"] = old
