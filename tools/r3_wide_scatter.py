@@ -69,10 +69,13 @@ def slope(component, args, label):
 
 
 def main():
-    x = y = 64
-    d = 512
-    n = 1 << 19
-    chunk = 16384
+    import os
+
+    # XSOM_WS_* overrides shrink the run for CPU smoke tests.
+    x = y = int(os.environ.get("XSOM_WS_XY", 64))
+    d = int(os.environ.get("XSOM_WS_D", 512))
+    n = int(os.environ.get("XSOM_WS_N", 1 << 19))
+    chunk = int(os.environ.get("XSOM_WS_CHUNK", 16384))
     spec = SomSpec(
         x=x, y=y, input_len=d, sigma=x / 2, sigmaN=1.0,
         learning_rate=0.5, learning_rateN=0.01,
@@ -159,7 +162,7 @@ def main():
     r_split = slope(stats_split, args, "wideD_bmu+split_scatter_32chunks")
     r_epoch = slope(full_epoch, args, "wideD_full_epoch_auto_32chunks")
 
-    n_eff = 32 * 16384
+    n_eff = int(chunks.shape[0]) * chunk
     print(
         f"bmu={r_bmu['per_epoch_ms']} fused={r_fused['per_epoch_ms']} "
         f"split={r_split['per_epoch_ms']} epoch={r_epoch['per_epoch_ms']} "
