@@ -157,10 +157,11 @@ def main():
         return jnp.sum(new_flat)
 
     args = (w, chunks, mask)
-    r_bmu = slope(bmu_only, args, "wideD_bmu_only_32chunks")
-    r_fused = slope(stats_fused, args, "wideD_bmu+fused_scatter_32chunks")
-    r_split = slope(stats_split, args, "wideD_bmu+split_scatter_32chunks")
-    r_epoch = slope(full_epoch, args, "wideD_full_epoch_auto_32chunks")
+    nck = int(chunks.shape[0])
+    r_bmu = slope(bmu_only, args, f"wideD_bmu_only_{nck}chunks")
+    r_fused = slope(stats_fused, args, f"wideD_bmu+fused_scatter_{nck}chunks")
+    r_split = slope(stats_split, args, f"wideD_bmu+split_scatter_{nck}chunks")
+    r_epoch = slope(full_epoch, args, f"wideD_full_epoch_auto_{nck}chunks")
 
     n_eff = int(chunks.shape[0]) * chunk
     print(
