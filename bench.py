@@ -30,21 +30,78 @@ The direct (dispatch-inclusive) number is printed to stderr alongside.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from xpysom_dask_tpu.core import SomSpec, chunk_data, make_train_fn
-
 NORTH_STAR_SAMPLES_PER_SEC_PER_CHIP = 1e8 / 64 / 60  # BASELINE.json north star
+
+METRIC = "som_batch_step_samples_per_sec_per_chip"
+UNIT = "samples/s/chip"
+
+
+def _emit_error(msg):
+    """Structured failure line (round-4, VERDICT r3 weak #2): when the
+    backend is down the round's perf record should say so in the same
+    JSON shape the driver parses, not die with a bare traceback."""
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": UNIT,
+                "vs_baseline": None,
+                "error": msg[:500],
+            }
+        )
+    )
+
+
+def _preflight(probe_timeout=60, retries=4, sleep_between=75):
+    """Probe backend health in a SUBPROCESS before this process imports
+    jax. A stranded axon relay claim hangs ``import jax`` for tens of
+    minutes (CLAUDE.md); killing a hung *probe* subprocess is safe,
+    killing a TPU-attached *run* is not — so the probe absorbs the risk.
+    Bounded retry window (~6 min) rides out transient relay outages like
+    the one that turned BENCH_r03.json red."""
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))"
+    last = ""
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(sleep_between)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{probe_timeout}s (relay claim stranded?)"
+            print(f"preflight {attempt + 1}/{retries}: {last}", file=sys.stderr)
+            continue
+        if proc.returncode == 0:
+            if attempt:
+                print(
+                    f"preflight recovered on attempt {attempt + 1}",
+                    file=sys.stderr,
+                )
+            return True
+        last = (proc.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+        last = last[0]
+        print(f"preflight {attempt + 1}/{retries}: {last}", file=sys.stderr)
+    _emit_error(f"backend preflight failed after {retries} attempts: {last}")
+    return False
 
 
 def main():
-    import os
+    import jax
+    import jax.numpy as jnp
+
+    from xpysom_dask_tpu.core import SomSpec, chunk_data, make_train_fn
 
     # env overrides for smoke-testing on small hosts; driver runs defaults
     x = y = int(os.environ.get("XSOM_BENCH_XY", 128))
@@ -137,9 +194,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "som_batch_step_samples_per_sec_per_chip",
+                "metric": METRIC,
                 "value": round(samples_per_sec, 1),
-                "unit": "samples/s/chip",
+                "unit": UNIT,
                 "vs_baseline": round(
                     samples_per_sec / NORTH_STAR_SAMPLES_PER_SEC_PER_CHIP, 3
                 ),
@@ -149,4 +206,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if not _preflight():
+        sys.exit(1)
+    try:
+        main()
+    except Exception as e:  # structured record even on mid-run failure
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_error(f"{type(e).__name__}: {e}")
+        sys.exit(1)
