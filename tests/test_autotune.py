@@ -29,32 +29,40 @@ def test_env_tiles_invalid_warns_and_ignores(monkeypatch, bad):
 
 
 def test_env_tiles_used_by_kernel(monkeypatch):
-    """The env override must actually reach tile selection — assert via
-    the default-table path: when XPYSOM_BMU_TILES is set, _tiles_for must
-    never be consulted (and the kernel result is unchanged, since tiling
-    cannot affect the argmin). jit caches traces, so each variant uses a
-    distinct shape to force a fresh trace."""
+    """The env override reaches tile selection via SPEC CONSTRUCTION —
+    the one documented env boundary (SomSpec.__post_init__): a spec built
+    under XPYSOM_BMU_TILES carries the tiles, and threading them to the
+    kernel bypasses the default table (_tiles_for never consulted; the
+    argmin is tiling-invariant). The kernel itself is env-blind:
+    tiles=None means the default table even with the env set."""
     rng = np.random.RandomState(0)
 
-    def run(n, setenv):
+    def run(n, tiles, expect_table):
         x = jnp.asarray(rng.rand(n, 8).astype(np.float32))
         w = jnp.asarray(rng.rand(96, 8).astype(np.float32))
-        if setenv:
-            monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+        if not expect_table:
 
             def boom(d):
-                raise AssertionError("_tiles_for consulted despite env tiles")
+                raise AssertionError("_tiles_for consulted despite tiles=")
 
             monkeypatch.setattr(pl_bmu, "_tiles_for", boom)
-        idx, _ = pl_bmu.bmu_euclidean(x, w, interpret=True)
+        idx, _ = pl_bmu.bmu_euclidean(x, w, interpret=True, tiles=tiles)
         monkeypatch.undo()
         d64 = -2 * np.asarray(x, np.float64) @ np.asarray(w, np.float64).T + (
             np.asarray(w, np.float64) ** 2
         ).sum(1)
         np.testing.assert_array_equal(np.asarray(idx), d64.argmin(1))
 
-    run(56, setenv=False)
-    run(64, setenv=True)  # fresh shape -> fresh trace under the env hook
+    run(56, tiles=None, expect_table=True)
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+    from xpysom_dask_tpu.core import SomSpec
+
+    spec = SomSpec(8, 12, 8, 2.0, 0.5, 0.5, 0.01)
+    assert spec.bmu_tiles == (8, 128)  # construction-time env resolution
+    run(64, tiles=spec.bmu_tiles, expect_table=False)
+    # env-blind kernel: fresh shape, env still set, tiles=None -> table
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+    run(48, tiles=None, expect_table=True)
     # explicit tiles= wins over the env var (fresh shape again)
     monkeypatch.setenv("XPYSOM_BMU_TILES", "banana")  # would warn if read
 

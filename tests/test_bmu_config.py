@@ -142,7 +142,8 @@ def test_bmu_chunk_threads_mode_and_tiles(monkeypatch):
     w = jnp.zeros((16, 8), jnp.float32)
     core._bmu_chunk(spec.distance_fn(), x, w, None, spec)
     assert calls == {"mode": "bf16", "tiles": (512, 2048)}
-    # None spec keeps the legacy pass-through (kernel resolves env itself)
+    # None spec passes None through: the kernel uses its own defaults
+    # ('packed', measured tile table) — it never reads env (round 4)
     core._bmu_chunk(spec.distance_fn(), x, w, None, None)
     assert calls == {"mode": None, "tiles": None}
 
@@ -164,6 +165,146 @@ def test_mode_switch_in_one_process():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
 
 
+# -- direct-core users: the spec IS the boundary (VERDICT r3 #5) ---------------
+
+
+def test_spec_post_init_resolves_env(monkeypatch):
+    """Bare SomSpec construction resolves the env switches exactly like
+    XPySom construction — direct core users get the same single
+    documented boundary, and env changes apply to NEW specs only (the
+    old spec, and every jit cache keyed on it, is untouched)."""
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "bf16")
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "512x1024")
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    a = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)
+    assert (a.bmu_precision, a.bmu_tiles, a.use_pallas) == (
+        "bf16", (512, 1024), False,
+    )
+    monkeypatch.delenv("XPYSOM_BMU_PRECISION")
+    monkeypatch.delenv("XPYSOM_BMU_TILES")
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS")
+    b = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)
+    assert (b.bmu_precision, b.bmu_tiles, b.use_pallas) == (
+        "packed", None, True,
+    )
+    # resolved values participate in eq/hash -> distinct jit cache keys
+    assert a != b
+    # the earlier spec kept its construction-time resolution
+    assert a.bmu_precision == "bf16"
+    # explicit fields win over env
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "bf16")
+    c = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_precision="highest")
+    assert c.bmu_precision == "highest"
+    # norm_p default is 'highest' when neither kwarg nor env supplies one
+    monkeypatch.delenv("XPYSOM_BMU_PRECISION")
+    d = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, distance="norm_p",
+                distance_kwargs=(("p", 4),))
+    assert d.bmu_precision == "highest"
+
+
+def test_env_junk_warns_at_construction(monkeypatch):
+    """Env-sourced junk warns and falls back (a stale env var must not
+    break every constructor in the process); explicit kwargs still
+    raise (test_bad_precision_raises)."""
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "float16")
+    with pytest.warns(UserWarning, match="XPYSOM_BMU_PRECISION"):
+        som = XPySom(4, 4, 8)
+    assert som._bmu_precision == "packed"
+    with pytest.warns(UserWarning, match="XPYSOM_BMU_PRECISION"):
+        spec = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)
+    assert spec.bmu_precision == "packed"
+
+
+def test_no_env_reads_while_tracing(monkeypatch):
+    """No traced/jitted call path reads the XPYSOM_* env switches: with
+    a guard that raises on any XPYSOM_* access, building + tracing +
+    running the full epoch/train executables must succeed (the grep
+    criterion of VERDICT r3 #5, enforced at runtime)."""
+    import os as _os
+
+    import jax.numpy as jnp
+
+    spec = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)  # boundary: resolves here
+
+    real_environ = _os.environ
+
+    class _Guard:
+        def get(self, key, default=None):
+            if str(key).startswith("XPYSOM_"):
+                raise AssertionError(f"env read of {key} inside library code")
+            return real_environ.get(key, default)
+
+        def __getitem__(self, key):
+            if str(key).startswith("XPYSOM_"):
+                raise AssertionError(f"env read of {key} inside library code")
+            return real_environ[key]
+
+        def __contains__(self, key):
+            return key in real_environ
+
+        def __iter__(self):
+            return iter(real_environ)
+
+        # delegate the rest (jax/XLA may touch env during compile)
+        def __getattr__(self, name):
+            return getattr(real_environ, name)
+
+    import xpysom_dask_tpu.core as core_mod
+    import xpysom_dask_tpu.ops.pallas.bmu as bmu_mod
+
+    data = jnp.asarray(_data(32, 8))
+    chunks = data.reshape(2, 16, 8)
+    mask = jnp.ones((2, 16), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(0).rand(4, 4, 8), jnp.float32)
+    # the factory body reads the scatter hooks EAGERLY at build time —
+    # allowed (that is the documented build boundary); build first
+    step = core.make_epoch_fn.__wrapped__(spec, 3)  # bypass lru_cache
+
+    guard = _Guard()
+    # core and bmu hold the env-reading helpers; both alias the os module,
+    # so patching os.environ on either patches the other — patch once via
+    # the module object to keep the intent explicit
+    assert core_mod.os is bmu_mod.os
+    monkeypatch.setattr(core_mod.os, "environ", guard, raising=True)
+    try:
+        # first call = trace + compile + run: no env read may happen here
+        out = step(w, chunks, mask, jnp.int32(0))
+        assert np.isfinite(np.asarray(out)).all()
+    finally:
+        monkeypatch.undo()
+
+
+def test_direct_core_mode_switch_no_staleness(monkeypatch):
+    """Direct-core mode switching: set env -> build spec A -> train;
+    change env -> build spec B -> train. Each run uses its own
+    construction-time config (distinct spec hash = distinct executable);
+    nothing silently reuses the other's trace."""
+    import jax.numpy as jnp
+
+    captured = []
+
+    def fake_bmu(x, w_flat, w_sq=None, *, center=None, mode=None, tiles=None):
+        captured.append((mode, tiles))
+        return jnp.zeros(x.shape[0], jnp.int32), jnp.zeros(x.shape[0])
+
+    import xpysom_dask_tpu.ops.pallas.bmu as bmu_mod
+
+    monkeypatch.setattr(bmu_mod, "bmu_euclidean", fake_bmu)
+    monkeypatch.setattr(
+        core, "_pallas_bmu_kind", lambda dist, d_dim, use_pallas=None: "euclidean"
+    )
+    x = jnp.zeros((4, 8), jnp.float32)
+    w = jnp.zeros((16, 8), jnp.float32)
+
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "bf16")
+    spec_a = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)
+    core._bmu_chunk(spec_a.distance_fn(), x, w, None, spec_a)
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "highest")
+    spec_b = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01)
+    core._bmu_chunk(spec_b.distance_fn(), x, w, None, spec_b)
+    assert captured == [("bf16", None), ("highest", None)]
+
+
 # -- persistence ---------------------------------------------------------------
 
 
@@ -180,6 +321,33 @@ def test_checkpoint_roundtrip_preserves_config(tmp_path):
     assert back._bmu_tiles == (1024, 2048)
     assert back._use_pallas is False
     np.testing.assert_array_equal(back.get_weights(), som.get_weights())
+
+
+def test_checkpoint_hw_config_persists_only_when_explicit(tmp_path, monkeypatch):
+    """ADVICE r3 (low): use_pallas/bmu_tiles are HARDWARE tuning — a
+    checkpoint must not pin env-resolved or autotuned values on a
+    different machine, and XPYSOM_TPU_NO_PALLAS on the loading host must
+    be honored. bmu_precision is numeric semantics and always travels."""
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "512x1024")  # env-resolved, not explicit
+    som = XPySom(4, 4, 8, random_seed=7, bmu_precision="bf16")
+    assert som._bmu_tiles == (512, 1024) and not som._bmu_tiles_explicit
+    p = tmp_path / "ck"
+    som.save_checkpoint(p)
+    monkeypatch.delenv("XPYSOM_BMU_TILES")
+    back = XPySom.load_checkpoint(p)
+    assert back._bmu_tiles is None  # fresh resolution on the loading host
+    assert back._bmu_precision == "bf16"  # numeric mode travels
+    # the kill-switch works on loaded models (reference _no_opt pattern)
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    back2 = XPySom.load_checkpoint(p)
+    assert back2._use_pallas is False
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS")
+    # explicit values still travel (test_checkpoint_roundtrip_preserves_config)
+    som3 = XPySom(4, 4, 8, use_pallas=True, bmu_tiles=(8, 128))
+    som3.save_checkpoint(p)
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    back3 = XPySom.load_checkpoint(p)
+    assert back3._use_pallas is True and back3._bmu_tiles == (8, 128)
 
 
 def test_checkpoint_auto_n_parallel_stays_auto(tmp_path):

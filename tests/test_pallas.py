@@ -225,9 +225,15 @@ def test_pallas_bmu_kind_gating(monkeypatch):
     # odd p and no_opt names stay on XLA
     assert kind(DistanceFunction("norm_p", {"p": 3}), 16) is None
     assert kind(DistanceFunction("euclidean_no_opt"), 16) is None
-    # kill switch
+    # kill switch: resolved at SPEC CONSTRUCTION (the one env boundary,
+    # SomSpec.__post_init__), threaded into the gate as use_pallas=False —
+    # _pallas_bmu_kind itself never reads env (it runs at trace time)
     monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
-    assert kind(DistanceFunction("euclidean"), 64) is None
+    spec = core.SomSpec(8, 8, 64, 2.0, 0.5, 0.5, 0.01)
+    assert spec.use_pallas is False
+    assert kind(DistanceFunction("euclidean"), 64, spec.use_pallas) is None
+    # the gate alone (no spec) stays env-blind: auto = kernel on
+    assert kind(DistanceFunction("euclidean"), 64) == "euclidean"
     monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS")
     # off-TPU
     monkeypatch.setattr(core.jax, "default_backend", lambda: "cpu")

@@ -62,6 +62,16 @@ def test_population_multi_epoch_qe_matches_serial():
         )
 
 
+def test_population_quantization_errors_empty_returns_nan():
+    """Empty-input contract matches XPySom.quantization_error: warn and
+    return NaN, not raise (advisor, round 3)."""
+    pop = SomPopulation(3, 4, 4, 8, sigma=1.0, random_seed=0)
+    with pytest.warns(UserWarning, match="empty"):
+        qes = pop.quantization_errors(np.zeros((0, 8), np.float32))
+    assert qes.shape == (3,)
+    assert np.isnan(qes).all()
+
+
 def test_population_quantization_errors_match_members():
     data = _blobs(n=180)
     pop = SomPopulation(3, 5, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=4)

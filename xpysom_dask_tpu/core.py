@@ -39,6 +39,7 @@ reference:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Optional, Tuple
@@ -92,12 +93,47 @@ class SomSpec:
     # reference xpysom.py:73-161). These are PART OF the hashable spec, so
     # every jit cache keys on them: switching modes in one process simply
     # compiles a second executable (no trace-time env staleness).
-    # ``None`` means "resolve from the XPYSOM_* env switches at trace
-    # time" — the legacy behavior, kept for direct core users; ``XPySom``
-    # resolves all three concretely at construction.
+    # ``None`` fields are resolved from the XPYSOM_* env switches in
+    # ``__post_init__`` — i.e. ONCE, when the spec is constructed. That is
+    # the single env boundary for the whole compute path (round 4,
+    # VERDICT r3 #5): no traced/jitted code reads os.environ anymore.
     bmu_precision: Optional[str] = None  # packed|bf16|split3|highest|margin
     bmu_tiles: Optional[Tuple[int, int]] = None  # (TN, TJ) kernel tiles
     use_pallas: Optional[bool] = None  # False = plain-XLA BMU formulation
+
+    def __post_init__(self):
+        # Env switches are read HERE, at spec construction, never at trace
+        # time — a later env change simply does not apply to already-built
+        # specs (it can never go *silently* stale mid-process the way a
+        # trace-time read cached by jit could). Explicit field values win.
+        # The resolved values participate in the spec's hash/eq, so every
+        # jit and lru cache keys on them.
+        if self.use_pallas is None:
+            object.__setattr__(
+                self,
+                "use_pallas",
+                not os.environ.get("XPYSOM_TPU_NO_PALLAS"),
+            )
+        else:
+            object.__setattr__(self, "use_pallas", bool(self.use_pallas))
+        if self.bmu_precision is None:
+            from .ops.pallas.bmu import _env_mode
+
+            # norm_p's binomial-expansion kernel cancels catastrophically
+            # below exact precision (ops.pallas.bmu.bmu_norm_p_even)
+            object.__setattr__(
+                self,
+                "bmu_precision",
+                _env_mode(
+                    default="highest" if self.distance == "norm_p" else "packed"
+                ),
+            )
+        if self.bmu_tiles is None:
+            from .ops.pallas.bmu import _env_tiles
+
+            # stays None when the env is unset too: None = the kernels'
+            # measured per-width default table (concrete, not env-dependent)
+            object.__setattr__(self, "bmu_tiles", _env_tiles())
 
     @property
     def xy(self) -> int:
@@ -181,15 +217,12 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
     ``use_pallas`` is the spec-level switch (``SomSpec.use_pallas`` /
     the ``XPySom(use_pallas=...)`` constructor kwarg): ``False`` forces
     the XLA formulation (the reference's ``_no_opt`` pattern,
-    tests.py:24-31), ``True`` commits to the kernel without consulting
-    the env (backend/width budgets still gate — a kernel that cannot
-    compile is never forced), ``None`` preserves the legacy trace-time
-    read of ``XPYSOM_TPU_NO_PALLAS`` for direct core users."""
-    import os
-
+    tests.py:24-31), ``True``/``None`` commit to the kernel (backend and
+    width budgets still gate — a kernel that cannot compile is never
+    forced). The ``XPYSOM_TPU_NO_PALLAS`` kill-switch is resolved into
+    ``use_pallas`` at SPEC CONSTRUCTION (``SomSpec.__post_init__``), not
+    here: this function runs at trace time and must not read env."""
     if use_pallas is False:
-        return None
-    if use_pallas is None and os.environ.get("XPYSOM_TPU_NO_PALLAS"):
         return None
     try:
         if jax.default_backend() != "tpu":
@@ -289,17 +322,18 @@ def _use_mosaic_scatter(spec, xy: int, d_dim: int) -> bool:
     the serial row-RMW loop cannot overlap the adjacent BMU kernel the
     way XLA's scatter overlaps its neighbors (BASELINE.md round 3,
     'scatter retraction'). Opt-in via ``XPYSOM_MOSAIC_SCATTER=1``
-    (benchmark hook, read at trace time) for re-measurement on future
-    toolchains; still requires the TPU backend and the accumulator to
-    fit the Mosaic VMEM budget (ops/pallas/stats.fits_vmem)."""
-    import os
+    (benchmark hook) for re-measurement on future toolchains; still
+    requires the TPU backend and the accumulator to fit the Mosaic VMEM
+    budget (ops/pallas/stats.fits_vmem).
 
+    EAGER resolver: called from factory bodies (``make_epoch_step`` /
+    ``make_stats_fn``) when the executable is built, never under trace —
+    the env read happens at build time, the traced step closes over the
+    resulting boolean."""
     if not os.environ.get("XPYSOM_MOSAIC_SCATTER"):
         return False
     use_pallas, _, _ = _bmu_config(spec)
     if use_pallas is False:
-        return False
-    if use_pallas is None and os.environ.get("XPYSOM_TPU_NO_PALLAS"):
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -322,16 +356,28 @@ def _use_split_scatter(d_dim: int) -> bool:
     scatter is a tiny (N,)→(XY,) add. When D+1 rounds to the same tile
     (e.g. the D=64 flagship, 65→128 either way) the single fused
     scatter wins — one scatter pass instead of two.
-    ``XPYSOM_SPLIT_SCATTER=0/1`` forces (trace-time measurement hook)."""
-    import os
+    ``XPYSOM_SPLIT_SCATTER=0/1`` forces (measurement hook).
 
+    EAGER resolver: called from factory bodies when the executable is
+    built, never under trace (see ``_use_mosaic_scatter``)."""
     env = os.environ.get("XPYSOM_SPLIT_SCATTER")
     if env is not None and env != "":
         return env != "0"
     return d_dim >= 128 and d_dim % 128 == 0
 
 
-def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec=None):
+def _accumulate_stats(
+    dist: DistanceFunction,
+    w_flat,
+    w_sq,
+    data,
+    mask,
+    xy,
+    spec=None,
+    *,
+    mosaic_scatter=None,
+    split_scatter=None,
+):
     """Scan chunks, scatter-accumulating per-BMU sufficient statistics
     ``S[b] = Σ x_n`` and ``cnt[b] = Σ 1`` (masked rows contribute zero).
 
@@ -349,11 +395,20 @@ def _accumulate_stats(dist: DistanceFunction, w_flat, w_sq, data, mask, xy, spec
     added to the carry: scattering +1.0 rows directly into a large f32
     total silently drops increments once a node's count passes 2^24
     (f32 ulp = 2); chunk-sized partials keep every addend representable
-    at huge-N scale (the residual is ≤1 ulp per chunk-total add)."""
+    at huge-N scale (the residual is ≤1 ulp per chunk-total add).
+
+    ``mosaic_scatter``/``split_scatter`` select the scatter formulation.
+    The library's factories resolve them EAGERLY at build time
+    (``_use_mosaic_scatter``/``_use_split_scatter``) and pass concrete
+    booleans, keeping env reads out of traced code; ``None`` (direct
+    callers — measurement tools) resolves at call time, which is trace
+    time if you call this under your own jit."""
 
     d_dim = data.shape[-1]
-    mosaic_scatter = _use_mosaic_scatter(spec, xy, d_dim)
-    split_scatter = not mosaic_scatter and _use_split_scatter(d_dim)
+    if mosaic_scatter is None:
+        mosaic_scatter = _use_mosaic_scatter(spec, xy, d_dim)
+    if split_scatter is None:
+        split_scatter = not mosaic_scatter and _use_split_scatter(d_dim)
 
     if split_scatter:
 
@@ -420,6 +475,10 @@ def make_epoch_step(spec: SomSpec, num_epochs: int, psum_axis: Optional[str] = N
     axis (for use under ``shard_map``)."""
     dist = spec.distance_fn()
     xy = spec.xy
+    # scatter-formulation env hooks resolved HERE, at build time (eager) —
+    # the traced step closes over booleans, never reads env
+    mosaic = _use_mosaic_scatter(spec, xy, spec.input_len)
+    split = not mosaic and _use_split_scatter(spec.input_len)
 
     def step(w, data, mask, t):
         w_flat = w.reshape(xy, spec.input_len)
@@ -429,7 +488,10 @@ def make_epoch_step(spec: SomSpec, num_epochs: int, psum_axis: Optional[str] = N
             else None
         )
         eta, sig = _decays(spec, t, num_epochs)
-        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy, spec)
+        s, cnt = _accumulate_stats(
+            dist, w_flat, w_sq, data, mask, xy, spec,
+            mosaic_scatter=mosaic, split_scatter=split,
+        )
         if psum_axis is not None:
             s = jax.lax.psum(s, psum_axis)
             cnt = jax.lax.psum(cnt, psum_axis)
@@ -448,6 +510,8 @@ def make_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     shard partials are psum-reduced so the result is replicated."""
     dist = spec.distance_fn()
     xy = spec.xy
+    mosaic = _use_mosaic_scatter(spec, xy, spec.input_len)
+    split = not mosaic and _use_split_scatter(spec.input_len)
 
     def run(w, data, mask):
         w_flat = w.reshape(xy, spec.input_len)
@@ -456,7 +520,10 @@ def make_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
             if dist.can_cache
             else None
         )
-        s, cnt = _accumulate_stats(dist, w_flat, w_sq, data, mask, xy, spec)
+        s, cnt = _accumulate_stats(
+            dist, w_flat, w_sq, data, mask, xy, spec,
+            mosaic_scatter=mosaic, split_scatter=split,
+        )
         if mesh is not None:
             s = jax.lax.psum(s, "data")
             cnt = jax.lax.psum(cnt, "data")

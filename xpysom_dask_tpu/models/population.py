@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 from typing import Optional, Sequence, Union
+from warnings import warn
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,7 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
     xy = spec0.xy
     d_dim = spec0.input_len
     dist = spec0.distance_fn()
+    split = core._use_split_scatter(d_dim)  # eager, at build time
 
     def step(w, data, mask, t):
         w_big = w.reshape(n_pop * xy, d_dim)
@@ -90,8 +92,6 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
             if dist.can_cache
             else None
         )
-
-        split = core._use_split_scatter(d_dim)
 
         def body(carry, xs):
             x, m = xs
@@ -424,7 +424,10 @@ class SomPopulation:
         tot, n = qe_fn(self._stacked_device_weights(), chunks, mask)
         n = float(n)
         if n == 0:
-            raise ValueError("quantization_errors over an empty data set")
+            # same empty-input contract as XPySom.quantization_error:
+            # warn and return NaN rather than raise (advisor, round 3)
+            warn("quantization_errors over an empty data set: returning NaN")
+            return np.full((self._n_members,), np.nan, dtype=np.float64)
         return np.asarray(jax.device_get(tot)) / n
 
     def best(self, data) -> XPySom:

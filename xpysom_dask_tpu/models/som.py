@@ -198,16 +198,23 @@ class XPySom:
         # The resolved values ride the hashable SomSpec so jit caches key
         # on them — the reference's constructor-kwargs-with-ValueErrors
         # config bar (xpysom.py:73-161) with no trace-time env staleness.
+        self._use_pallas_explicit = use_pallas is not None
         if use_pallas is None:
             use_pallas = not os.environ.get("XPYSOM_TPU_NO_PALLAS")
         self._use_pallas = bool(use_pallas)
 
+        self._bmu_precision_explicit = bmu_precision is not None
         if bmu_precision is None:
-            bmu_precision = os.environ.get("XPYSOM_BMU_PRECISION", "").lower() or None
-        if bmu_precision is None:
+            from ..ops.pallas.bmu import _env_mode
+
+            # env-sourced values warn-and-fall-back on junk (a stale env
+            # var set for an unrelated experiment must not break every
+            # constructor call); explicit kwargs ValueError below.
             # norm_p's binomial-expansion kernel cancels catastrophically
             # below exact precision (see ops.pallas.bmu.bmu_norm_p_even)
-            bmu_precision = "highest" if activation_distance == "norm_p" else "packed"
+            bmu_precision = _env_mode(
+                default="highest" if activation_distance == "norm_p" else "packed"
+            )
         bmu_precision = str(bmu_precision).lower()
         if bmu_precision not in _BMU_MODES:
             msg = "%s not supported. BMU precisions available: %s"
@@ -220,6 +227,7 @@ class XPySom:
             )
         self._bmu_precision = bmu_precision
 
+        self._bmu_tiles_explicit = bmu_tiles is not None
         if bmu_tiles is None:
             from ..ops.pallas.bmu import _env_tiles
 
@@ -472,10 +480,11 @@ class XPySom:
         d_eff = self._input_len
         if kind == "manhattan":
             kwargs.setdefault("kernel", "manhattan")
-            # for the L1 kernel `mode` carries the accumulation strategy
-            kwargs.setdefault(
-                "mode", "bf16" if self._bmu_precision == "bf16" else "serial"
-            )
+            # for the L1 kernel `mode` carries the accumulation strategy;
+            # tune the 'serial' form both dispatch paths actually run
+            # (core._bmu_chunk and grid_sharded._local_min_arg force it —
+            # bf16 measured less accurate AND slower, BASELINE.md round 3)
+            kwargs.setdefault("mode", "serial")
         elif kind == "norm_p_even":
             p = int(self._activation_distance_kwargs.get("p", 2))
             d_eff = self._input_len * (p + 1)
@@ -605,7 +614,14 @@ class XPySom:
         mechanism for long runs (the reference has none beyond pickle,
         SURVEY.md §5): after a failure, ``XPySom.load_checkpoint(path)``
         and ``train(data, num_epochs, iter_beg=ckpt._checkpoint_epoch)``
-        resume exactly."""
+        resume exactly.
+
+        Determinism: each setting of ``verbose`` is bit-reproducible,
+        but ``verbose=True`` (per-epoch dispatch) and ``verbose=False``
+        (whole-run on-device loop) compile *different programs* of the
+        same f32 math and can diverge on near-tie codebooks — compare
+        across program variants by quantization error, not bitwise
+        weights (docs/MIGRATION.md, behavioral delta 7)."""
         if iter_end is None:
             iter_end = num_epochs
 

@@ -17,8 +17,11 @@ median of ``reps`` runs after a compile/warmup call. Candidates that fail
 to compile (e.g. VMEM overflow at wide D) are skipped and recorded with
 ``float('inf')``.
 
-NB the same trace-time trap as ``XPYSOM_BMU_PRECISION`` (docs/API.md):
-``apply=True`` only affects jits traced AFTER the call. And pick ``n``
+NB ``apply=True`` exports the env pin, which is read at SPEC
+CONSTRUCTION (``SomSpec.__post_init__`` — the one documented config
+boundary, docs/API.md): it affects SOMs/specs constructed after the
+call; already-built models keep their tiles (``XPySom.autotune_kernel``
+additionally pins the winner on its own instance). And pick ``n``
 large enough that kernel time dominates per-call dispatch (~30 ms on a
 tunneled dev rig, ~10 us on a real TPU host) — candidates within noise of
 each other are interchangeable anyway; the tuner's job is to dodge the
@@ -138,8 +141,8 @@ def autotune_bmu_tiles(
     """Measure ``candidates`` at shape (n, xy, d) on the current backend
     and return a :class:`TuneResult` with the fastest tiles.
 
-    ``apply=True`` additionally sets ``XPYSOM_BMU_TILES`` so later-traced
-    kernels (including XPySom training) pick the winner up.
+    ``apply=True`` additionally sets ``XPYSOM_BMU_TILES`` so specs/SOMs
+    constructed afterwards pick the winner up (construction-time read).
     ``interpret`` defaults to auto: the Mosaic kernel on TPU, the Pallas
     interpreter elsewhere (mechanics only — off-TPU timings are not
     meaningful tile comparisons).

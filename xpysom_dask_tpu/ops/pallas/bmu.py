@@ -80,6 +80,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Re-measurement hook (VERDICT r2 #5, measured NEUTRAL round 3 — see the
+# dimension_semantics note in bmu_euclidean): read ONCE at import so the
+# hook stays usable for per-process experiments (tools/r3_dimsem.py sets
+# the env before interpreter start) without a trace-time env read.
+_DIMSEM = bool(os.environ.get("XPYSOM_BMU_DIMSEM"))
+
 __all__ = [
     "bmu_euclidean",
     "bmu_cosine",
@@ -422,12 +428,14 @@ def supported() -> bool:
         return False
 
 
-def _mode() -> str:
-    """Legacy fallback for DIRECT kernel users who pass ``mode=None``:
-    resolved at trace time of the enclosing jit, so later env changes in
-    the same process do not retrace. ``XPySom`` never reaches this — it
-    resolves ``bmu_precision`` once at construction into the hashable
-    spec (docs/API.md "Kernel configuration")."""
+def _env_mode(default="packed") -> str:
+    """EAGER env resolution of ``XPYSOM_BMU_PRECISION`` — called from the
+    one documented config boundary (``SomSpec.__post_init__`` / XPySom
+    construction, docs/API.md "Kernel configuration"), never at trace
+    time. An unrecognized env value warns and falls back to ``default``
+    (a stale env var set for an unrelated experiment must not break
+    every constructor call in the process — explicit kwargs, by
+    contrast, raise ValueError in the XPySom constructor)."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
     if m in ("highest", "split3", "packed", "bf16", "margin"):
         return m
@@ -436,16 +444,17 @@ def _mode() -> str:
 
         warnings.warn(
             f"XPYSOM_BMU_PRECISION={m!r} not recognized "
-            "(expected packed|split3|highest|bf16|margin); using 'packed'"
+            f"(expected packed|split3|highest|bf16|margin); using {default!r}"
         )
-    return "packed"
+    return default
 
 
 def _env_tiles():
-    """Optional ``XPYSOM_BMU_TILES=TNxTJ`` override. For DIRECT kernel
-    users passing ``tiles=None`` this is read at trace time (legacy
-    process-cache behavior); ``XPySom`` reads it once at construction
-    into ``bmu_tiles`` (docs/API.md "Kernel configuration")."""
+    """EAGER env resolution of the optional ``XPYSOM_BMU_TILES=TNxTJ``
+    override — read at spec construction (``SomSpec.__post_init__`` /
+    XPySom construction), the one documented config boundary. The
+    kernels themselves never read env: ``tiles=None`` means the measured
+    per-width default table (``_tiles_for``)."""
     s = os.environ.get("XPYSOM_BMU_TILES", "")
     if not s:
         return None
@@ -509,7 +518,7 @@ def bmu_euclidean(
     output shifts by ``2x·c − ‖c‖²+…``, identically for all w).
     """
     if mode is None:
-        mode = _mode()
+        mode = "packed"  # kernel default; env resolves at spec construction
     if mode not in ("packed", "bf16", "split3", "highest", "margin"):
         raise ValueError(
             f"mode={mode!r} not recognized "
@@ -536,8 +545,6 @@ def bmu_euclidean(
         w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
     w_sq = w_sq.reshape(1, xy)
 
-    if tiles is None:
-        tiles = _env_tiles()
     tn_max, tj_max = tiles if tiles is not None else _tiles_for(d_dim)
     tn = min(tn_max, max(8, -(-n // 8) * 8))
     tj = min(tj_max, max(128, -(-xy // 128) * 128))
@@ -576,7 +583,7 @@ def bmu_euclidean(
         # free parallelism to claim. Default stays off; the env switch
         # remains for future re-measurement on other TPU generations.
         params = dict(vmem_limit_bytes=100 * 1024 * 1024)
-        if os.environ.get("XPYSOM_BMU_DIMSEM"):
+        if _DIMSEM:  # import-time constant, see module header
             params["dimension_semantics"] = ("parallel", "arbitrary")
         common["compiler_params"] = pltpu.CompilerParams(**params)
     x_spec = pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -764,8 +771,6 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None, accum="serial"):
         )
     n, d_dim = x.shape
     xy = w_flat.shape[0]
-    if tiles is None:
-        tiles = _env_tiles()  # autotune pin applies here too
     # (512, 1024) measured 14.9 ms vs 15.9 for (256, 1024) at
     # 16384x16384x64 (batched medians; (512, 2048) ties at 14.8)
     tn_max, tj_max = tiles if tiles is not None else (512, 1024)

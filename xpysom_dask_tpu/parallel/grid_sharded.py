@@ -146,10 +146,13 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None, spec=N
     if kind == "manhattan":
         from ..ops.pallas.bmu import bmu_manhattan
 
-        idx, val = bmu_manhattan(
-            x, w_local, tiles=tiles,
-            accum="bf16" if mode == "bf16" else "serial",
-        )
+        # Always the exact serial accumulation, matching the single-device
+        # dispatch (core._bmu_chunk): the round-3 ranking measured bf16
+        # BOTH less accurate AND slower on the VPU-bound L1 kernel
+        # (16.41 vs 11.01 ms/exec) — honoring bmu_precision='bf16' here
+        # would give the same model config different numerics and worse
+        # speed depending on mesh shape (advisor, round 3).
+        idx, val = bmu_manhattan(x, w_local, tiles=tiles, accum="serial")
         return val, idx
     if kind == "norm_p_even":
         from ..ops.pallas.bmu import bmu_norm_p_even
@@ -174,16 +177,22 @@ def _global_bmu(local_min, local_arg, offset):
     return jax.lax.pmin(candidate, MODEL_AXIS), global_min
 
 
-def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
+def _shard_stats(
+    spec: SomSpec, dist: DistanceFunction, w_local, data, mask, split=None
+):
     """Scan chunks; per chunk: sharded BMU search then scatter-accumulate
-    into this shard's row range only."""
+    into this shard's row range only. ``split`` selects the scatter
+    formulation — factories resolve it eagerly at build time
+    (core._use_split_scatter) so traced code never reads env; ``None``
+    resolves at call time (direct/measurement callers)."""
     rows = w_local.shape[0]
     offset = jax.lax.axis_index(MODEL_AXIS) * rows
     center, w_sq = _center_and_wsq(spec, dist, w_local)
     d_dim = spec.input_len
-    from ..core import _use_split_scatter
+    if split is None:
+        from ..core import _use_split_scatter
 
-    split = _use_split_scatter(d_dim)
+        split = _use_split_scatter(d_dim)
 
     def body(carry, xs):
         x, m = xs
@@ -231,12 +240,17 @@ def _shard_stats(spec: SomSpec, dist: DistanceFunction, w_local, data, mask):
 
 def _make_step_2d(spec: SomSpec, num_epochs: int):
     dist = spec.distance_fn()
+    from ..core import _use_split_scatter
+
+    split = _use_split_scatter(spec.input_len)  # eager, at build time
 
     def step(w_local, data, mask, t):
         rows = w_local.shape[0] * w_local.shape[1]  # local X-rows * Y
         w_flat_local = w_local.reshape(rows, spec.input_len)
         eta, sig = _decays(spec, t, num_epochs)
-        s_local, cnt_local = _shard_stats(spec, dist, w_flat_local, data, mask)
+        s_local, cnt_local = _shard_stats(
+            spec, dist, w_flat_local, data, mask, split=split
+        )
         # gather full statistics over the model axis (the one XY-sized
         # collective per epoch), compute the tiny update, keep local rows
         s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
@@ -300,11 +314,14 @@ def make_stats_fn_2d(spec: SomSpec, mesh: Mesh):
     'model' (used by the streaming pipeline)."""
     _local_rows(spec, mesh.shape[MODEL_AXIS])
     dist = spec.distance_fn()
+    from ..core import _use_split_scatter
+
+    split = _use_split_scatter(spec.input_len)  # eager, at build time
 
     def run(w_local, data, mask):
         rows = w_local.shape[0] * w_local.shape[1]
         w_flat_local = w_local.reshape(rows, spec.input_len)
-        return _shard_stats(spec, dist, w_flat_local, data, mask)
+        return _shard_stats(spec, dist, w_flat_local, data, mask, split=split)
 
     sharded = jax.shard_map(
         run,

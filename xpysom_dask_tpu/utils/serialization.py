@@ -64,9 +64,25 @@ def _config_dict(som):
         # budget on matrix-materializing paths (chunk·XY·4-byte
         # transients — ~17 GB at XY=512² with the fused default)
         "n_parallel": int(som._n_parallel) if som._n_parallel_explicit else 0,
+        # bmu_precision is NUMERIC semantics — it travels with the
+        # checkpoint unconditionally so the reloaded model reproduces the
+        # training numerics. use_pallas/bmu_tiles are HARDWARE tuning:
+        # persisted only when user-explicit (the n_parallel_explicit
+        # treatment), so (a) the XPYSOM_TPU_NO_PALLAS kill-switch on the
+        # loading host is honored (fresh construction-time resolution)
+        # and (b) tiles autotuned on one TPU generation are never pinned
+        # on a machine whose Mosaic VMEM budget they might exceed.
         "bmu_precision": som._bmu_precision,
-        "bmu_tiles": list(som._bmu_tiles) if som._bmu_tiles else None,
-        "use_pallas": bool(som._use_pallas),
+        "bmu_tiles": (
+            list(som._bmu_tiles)
+            if som._bmu_tiles and getattr(som, "_bmu_tiles_explicit", True)
+            else None
+        ),
+        "use_pallas": (
+            bool(som._use_pallas)
+            if getattr(som, "_use_pallas_explicit", True)
+            else None
+        ),
     }
 
 
