@@ -294,6 +294,7 @@ class SomPopulation:
 
         # Budget the training chunk against the CONCATENATED (chunk, P·XY)
         # distance matrix — the per-chunk transient this path materializes.
+        self._n_parallel_explicit = n_parallel != 0
         if n_parallel == 0:
             n_parallel = default_n_parallel(self._n_members * x * y, fused=False)
 
@@ -381,10 +382,27 @@ class SomPopulation:
 
     # -- training / evaluation ------------------------------------------------
 
-    def train(self, data, num_epochs, iter_beg=0, iter_end=None, verbose=False):
+    def train(
+        self,
+        data,
+        num_epochs,
+        iter_beg=0,
+        iter_end=None,
+        verbose=False,
+        checkpoint_path=None,
+        checkpoint_every=0,
+    ):
         """Train every member on ``data`` for epochs ``[iter_beg, iter_end)``
         of a ``num_epochs`` schedule — one fused executable for the whole
-        sweep (per-epoch dispatch only under ``verbose`` for progress)."""
+        sweep (per-epoch dispatch only under ``verbose`` for progress).
+
+        ``checkpoint_path`` + ``checkpoint_every=k`` write a portable
+        population ``.npz`` checkpoint every k epochs (and at the end) —
+        the same fault-tolerance mechanism as single-model
+        ``XPySom.train``: after a failure,
+        ``SomPopulation.load_checkpoint(path)`` and
+        ``train(data, num_epochs, iter_beg=pop._checkpoint_epoch)``
+        resume the sweep exactly (RNG state included)."""
         if iter_end is None:
             iter_end = num_epochs
         data2d = _as_numpy_2d(data)
@@ -396,6 +414,7 @@ class SomPopulation:
         chunks, mask, n = self._chunked(data2d)
         w = self._stacked_device_weights()
         specs = self._specs()
+        ckpt = bool(checkpoint_every and checkpoint_path)
 
         if verbose:
             epoch_fn = make_population_epoch_fn(specs, num_epochs, self._mesh)
@@ -404,14 +423,47 @@ class SomPopulation:
             for t in range(iter_beg, iter_end):
                 w = epoch_fn(w, chunks, mask, jnp.int32(t))
                 reporter.update(t * n + n - 1)
+                if ckpt and (
+                    (t + 1 - iter_beg) % checkpoint_every == 0
+                    or t + 1 == iter_end
+                ):
+                    self._write_back(w)
+                    self.save_checkpoint(checkpoint_path, epoch=t + 1)
         else:
+            # whole sweep in one executable per checkpoint segment (data
+            # and codebooks stay on device across segments)
             train_fn = make_population_train_fn(specs, num_epochs, self._mesh)
-            w = train_fn(w, chunks, mask, jnp.int32(iter_beg), jnp.int32(iter_end))
+            seg = checkpoint_every if ckpt else (iter_end - iter_beg)
+            for seg_beg in range(iter_beg, iter_end, max(seg, 1)):
+                seg_end = min(seg_beg + seg, iter_end)
+                w = train_fn(
+                    w, chunks, mask, jnp.int32(seg_beg), jnp.int32(seg_end)
+                )
+                if ckpt:
+                    self._write_back(w)
+                    self.save_checkpoint(checkpoint_path, epoch=seg_end)
 
         self._write_back(w)
         if verbose:
             print("\n quantization errors:", self.quantization_errors(data2d))
         return self
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save_checkpoint(self, path, *, epoch=None):
+        """Portable population checkpoint (stacked codebooks + per-member
+        RNG + config header); see utils.serialization."""
+        from ..utils.serialization import save_population_checkpoint
+
+        save_population_checkpoint(self, path, epoch=epoch)
+
+    @classmethod
+    def load_checkpoint(cls, path, *, mesh=None):
+        """Rebuild a population from :meth:`save_checkpoint` output.
+        ``mesh`` re-attaches a data mesh on the loading host."""
+        from ..utils.serialization import load_population_checkpoint
+
+        return load_population_checkpoint(path, mesh=mesh)
 
     def quantization_errors(self, data) -> np.ndarray:
         """Per-member quantization error, shape ``(P,)`` — every member

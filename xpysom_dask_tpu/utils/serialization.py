@@ -18,7 +18,14 @@ import pickle
 
 import numpy as np
 
-__all__ = ["save", "load", "save_checkpoint", "load_checkpoint"]
+__all__ = [
+    "save",
+    "load",
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_population_checkpoint",
+    "load_population_checkpoint",
+]
 
 _FORMAT_VERSION = 1
 
@@ -178,3 +185,124 @@ def load_checkpoint(path, *, mesh=None):
         _epoch = header.get("epoch")
         som._checkpoint_epoch = 0 if _epoch is None else int(_epoch)
     return som
+
+
+def _rng_arrays(rng_states):
+    """Stack MT19937 states into three arrays (keys/meta/gauss)."""
+    keys = np.stack([np.asarray(s[1], dtype=np.uint32) for s in rng_states])
+    meta = np.asarray([[s[2], s[3], 0] for s in rng_states], dtype=np.float64)
+    gauss = np.asarray([s[4] for s in rng_states], dtype=np.float64)
+    return keys, meta, gauss
+
+
+def save_population_checkpoint(pop, path, *, epoch=None):
+    """One portable ``.npz`` for a whole :class:`SomPopulation`: the
+    stacked ``(P, X, Y, D)`` codebooks, every member's RNG state and a
+    JSON header with each member's constructor config — the population
+    analog of :func:`save_checkpoint`, giving long model-selection
+    sweeps the same fault tolerance as single-model training
+    (VERDICT r3 #8; the reference's serial per-candidate workflow,
+    xpysom.py:458-594, has pickle only)."""
+    path = _norm_path(path)
+    header = {
+        "format_version": _FORMAT_VERSION,
+        "population": {
+            "n_members": pop.n_members,
+            # 0 = auto-sized, like the single-model n_parallel treatment
+            "n_parallel": (
+                int(pop._n_parallel)
+                if getattr(pop, "_n_parallel_explicit", True)
+                else 0
+            ),
+            "configs": [_config_dict(m) for m in pop.members],
+        },
+        "epoch": epoch,
+    }
+    keys, meta, gauss = _rng_arrays(
+        [m._random_generator.get_state() for m in pop.members]
+    )
+    np.savez(
+        path,
+        header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        weights=np.ascontiguousarray(pop.weights),
+        rng_keys=keys,
+        rng_meta=meta,
+        rng_gauss=gauss,
+    )
+
+
+def load_population_checkpoint(path, *, mesh=None):
+    """Rebuild a :class:`SomPopulation` from a population checkpoint.
+    ``mesh`` re-attaches a data-parallel mesh on the loading host (like
+    :func:`load_checkpoint`, hardware is a property of the host, not the
+    checkpoint)."""
+    from ..models.population import SomPopulation
+
+    with np.load(_norm_path(path)) as z:
+        if "header" not in z.files or "weights" not in z.files:
+            raise ValueError(
+                f"{path!r} is not an xpysom checkpoint "
+                f"(missing header/weights entries; found {z.files})"
+            )
+        header = json.loads(bytes(z["header"]).decode())
+        if header["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {header['format_version']} is newer than "
+                f"this library supports ({_FORMAT_VERSION})"
+            )
+        if "population" not in header:
+            raise ValueError(
+                f"{path!r} is a single-model checkpoint — use load_checkpoint"
+            )
+        meta_hdr = header["population"]
+        cfgs = meta_hdr["configs"]
+        p = int(meta_hdr["n_members"])
+        if len(cfgs) != p:
+            raise ValueError(
+                f"corrupt population checkpoint: {len(cfgs)} member configs "
+                f"for n_members={p}"
+            )
+        c0 = cfgs[0]
+        pop = SomPopulation(
+            p,
+            c0["x"],
+            c0["y"],
+            c0["input_len"],
+            sigma=[c["sigma"] for c in cfgs],
+            sigmaN=[c["sigmaN"] for c in cfgs],
+            learning_rate=[c["learning_rate"] for c in cfgs],
+            learning_rateN=[c["learning_rateN"] for c in cfgs],
+            decay_function=c0["decay_function"],
+            neighborhood_function=c0["neighborhood_function"],
+            std_coeff=c0["std_coeff"],
+            topology=c0["topology"],
+            activation_distance=c0["activation_distance"],
+            activation_distance_kwargs=c0["activation_distance_kwargs"],
+            compact_support=c0["compact_support"],
+            n_parallel=meta_hdr.get("n_parallel", 0),
+            mesh=mesh,
+        )
+        w = np.asarray(z["weights"])
+        expect = (p, c0["x"], c0["y"], c0["input_len"])
+        if w.shape != expect:
+            raise ValueError(
+                f"checkpoint weights shape {w.shape} does not match its "
+                f"own config {expect} — corrupt or hand-edited file"
+            )
+        keys = np.asarray(z["rng_keys"], dtype=np.uint32)
+        meta = np.asarray(z["rng_meta"])
+        gauss = np.asarray(z["rng_gauss"])
+        for i, m in enumerate(pop.members):
+            m._weights = w[i].copy()
+            m._random_generator.set_state(
+                (
+                    "MT19937",
+                    keys[i],
+                    int(meta[i][0]),
+                    int(meta[i][1]),
+                    float(gauss[i]),
+                )
+            )
+        _epoch = header.get("epoch")
+        pop._checkpoint_epoch = 0 if _epoch is None else int(_epoch)
+    return pop
