@@ -281,3 +281,36 @@ def test_margin_rescue_row0_not_clobbered():
     # resolution, where no f32-class kernel tracks float64 — the clobber
     # bug made margin keep the raw-bf16 flip packed does not have)
     np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_p))
+
+
+def test_dtile_bf16_compiled_path_gated(monkeypatch):
+    """VERDICT r3 weak #4: the compiled path is a guaranteed v5e Mosaic
+    crash, so it must raise a clear NotImplementedError by default;
+    interpret mode (these tests) stays open, and the import-time
+    XPYSOM_DTILE_BF16 opt-in re-arms it for future toolchains."""
+    import xpysom_dask_tpu.ops.pallas.bmu as pl_bmu
+
+    x = np.random.RandomState(0).rand(16, 8).astype(np.float32)
+    w = np.random.RandomState(1).rand(32, 8).astype(np.float32)
+    with pytest.raises(NotImplementedError, match="dtile='bf16'"):
+        pl_bmu.bmu_euclidean(
+            jnp.asarray(x), jnp.asarray(w), mode="bf16", dtile="bf16"
+        )
+    # interpret mode is not gated (fidelity tests above run through it)
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), mode="bf16", dtile="bf16",
+        interpret=True,
+    )
+    assert idx.shape == (16,)
+    # opt-in re-arms the compiled path (here: CPU backend -> the pallas
+    # call itself fails later, but the GATE must not fire)
+    monkeypatch.setattr(pl_bmu, "_DTILE_BF16_OPTIN", True)
+    try:
+        pl_bmu.bmu_euclidean(
+            jnp.asarray(x), jnp.asarray(w), mode="bf16", dtile="bf16"
+        )
+    except NotImplementedError as e:
+        if "dtile" in str(e):
+            raise AssertionError("gate fired despite opt-in") from e
+    except Exception:
+        pass  # CPU backend rejects the TPU pallas_call - expected

@@ -383,13 +383,25 @@ def test_margin_dtile_bf16_exact_on_chip(record):
     in the offset near-tie regime — under the widened gate
     (8u·S + 3u·max‖w‖²).
 
-    XFAILS on the v5e Mosaic backend crash documented in BASELINE.md
-    round 3 (casting the matmul accumulator to bf16 kills the remote
-    compile helper); fidelity of the lowering is pinned in interpret
-    mode by tests/test_margin_bmu.py, and the on-chip assertions arm
-    automatically on a toolchain that compiles it."""
+    GATED since round 4 (VERDICT r3 weak #4): the v5e Mosaic backend
+    crash documented in BASELINE.md round 3 (casting the matmul
+    accumulator to bf16 kills the remote compile helper) made the
+    feature a guaranteed backend crash reachable from the public kernel
+    API, so the compiled path now raises NotImplementedError unless
+    XPYSOM_DTILE_BF16=1 is set before interpreter start. Default run:
+    assert the gate. Opt-in run (new toolchain re-measurement): the
+    on-chip exactness assertions arm automatically; a surviving Mosaic
+    crash xfails as before. Fidelity of the lowering is pinned in
+    interpret mode by tests/test_margin_bmu.py."""
     x, w = _rand_problem(seed=21)
     ref = _argmin64(x, w)
+    if not pl_bmu._DTILE_BF16_OPTIN:
+        with pytest.raises(NotImplementedError, match="dtile='bf16'"):
+            pl_bmu.bmu_euclidean(
+                jnp.asarray(x), jnp.asarray(w), mode="margin", dtile="bf16"
+            )
+        record("margin_dtile_bf16_backend", "gated (round 4; BASELINE r3)")
+        return
     try:
         idx, _ = pl_bmu.bmu_euclidean(
             jnp.asarray(x), jnp.asarray(w), mode="margin", dtile="bf16"

@@ -86,6 +86,14 @@ from jax.experimental.pallas import tpu as pltpu
 # the env before interpreter start) without a trace-time env read.
 _DIMSEM = bool(os.environ.get("XPYSOM_BMU_DIMSEM"))
 
+# dtile='bf16' crashes the v5e Mosaic remote compiler at EVERY shape
+# (casting the matmul accumulator tile to bf16; BASELINE.md round 3,
+# TPU_TESTS_r03.json "compile-crash") — the compiled path is gated off
+# so the public kernel API cannot reach a guaranteed backend crash.
+# Import-time opt-in to re-attempt on newer toolchains; interpret mode
+# always works (the lowering's fidelity is pinned by tests/test_margin_bmu).
+_DTILE_BF16_OPTIN = bool(os.environ.get("XPYSOM_DTILE_BF16"))
+
 __all__ = [
     "bmu_euclidean",
     "bmu_cosine",
@@ -530,6 +538,14 @@ def bmu_euclidean(
         )
     if dtile not in ("f32", "bf16"):
         raise ValueError(f"dtile={dtile!r} not recognized (f32|bf16)")
+    if dtile == "bf16" and not interpret and not _DTILE_BF16_OPTIN:
+        raise NotImplementedError(
+            "dtile='bf16' is gated off on the compiled path: it crashes "
+            "the v5e Mosaic remote compiler at every shape (BASELINE.md "
+            "round 3, TPU_TESTS_r03.json). Set XPYSOM_DTILE_BF16=1 before "
+            "interpreter start to re-attempt on a newer toolchain; "
+            "interpret=True always runs the lowering (fidelity tests)."
+        )
     if dtile == "bf16" and mode not in ("bf16", "margin"):
         # packed/split3/highest exist to make the distance exact — a
         # rounded d tile would silently undo that
