@@ -324,3 +324,62 @@ def test_population_checkpoint_rejects_single_model_file(tmp_path):
     pop.save_checkpoint(tmp_path / "pop.npz")
     with pytest.raises((ValueError, KeyError)):
         XPySom.load_checkpoint(tmp_path / "pop.npz")
+
+
+def test_population_streaming_matches_resident(tmp_path):
+    """Source-like data streams through the population path: streamed
+    sweep == resident sweep (same stats-fold + update math; mirrors the
+    single-model streaming parity in test_pipeline_serialization)."""
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource, IterableSource
+
+    data = _blobs(n=400)
+    kw = dict(sigma=[1.0, 2.0], random_seed=9)
+    resident = SomPopulation(2, 5, 5, 8, **kw)
+    resident.train(data, 3)
+
+    streamed = SomPopulation(2, 5, 5, 8, **kw)
+    streamed.train(ArraySource(data), 3)
+    np.testing.assert_allclose(
+        streamed.weights, resident.weights, rtol=1e-4, atol=1e-5
+    )
+
+    # memmap duck-typing + ragged producer blocks
+    mm_path = tmp_path / "pop.f32"
+    data.tofile(mm_path)
+    mm = np.memmap(mm_path, dtype=np.float32, mode="r", shape=(400, 8))
+    streamed2 = SomPopulation(2, 5, 5, 8, **kw)
+    streamed2.train(mm, 3)
+    np.testing.assert_allclose(
+        streamed2.weights, resident.weights, rtol=1e-4, atol=1e-5
+    )
+
+    def factory():
+        for start in range(0, 400, 77):
+            yield data[start : start + 77]
+
+    streamed3 = SomPopulation(2, 5, 5, 8, **kw)
+    streamed3.train(IterableSource(factory, 400, 8), 3)
+    np.testing.assert_allclose(
+        streamed3.weights, resident.weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_population_streaming_checkpoint_and_validation(tmp_path):
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    data = _blobs(n=200)
+    ckpt = tmp_path / "pop_stream.npz"
+    pop = SomPopulation(2, 4, 4, 8, random_seed=3)
+    pop.train(
+        ArraySource(data), 4, checkpoint_path=ckpt, checkpoint_every=2
+    )
+    loaded = SomPopulation.load_checkpoint(ckpt)
+    assert loaded._checkpoint_epoch == 4
+    np.testing.assert_array_equal(loaded.weights, pop.weights)
+
+    with pytest.raises(ValueError, match="features"):
+        SomPopulation(2, 4, 4, 6, random_seed=3).train(ArraySource(data), 1)
+    with pytest.raises(ValueError, match="empty"):
+        SomPopulation(2, 4, 4, 8, random_seed=3).train(
+            ArraySource(np.zeros((0, 8), np.float32)), 1
+        )

@@ -75,9 +75,11 @@ def _pop_decays(specs, t, num_epochs):
     return eta, sig
 
 
-def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
-    """Pure epoch step over the stacked population codebook:
-    ``step(w, data, mask, t) -> w'`` with ``w`` of shape ``(P, XY, D)``."""
+def _make_pop_stats(specs, psum_axis=None):
+    """Pure accumulate-only half of a population epoch:
+    ``stats(w, data, mask) -> (S (P, XY, D), cnt (P, XY))`` — the
+    concatenated-codebook BMU GEMM + vmapped scatter, psum-reduced over
+    ``psum_axis`` when given (for use under ``shard_map``)."""
     spec0 = specs[0]
     n_pop = len(specs)
     xy = spec0.xy
@@ -85,7 +87,7 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
     dist = spec0.distance_fn()
     split = core._use_split_scatter(d_dim)  # eager, at build time
 
-    def step(w, data, mask, t):
+    def stats(w, data, mask):
         w_big = w.reshape(n_pop * xy, d_dim)
         w_sq = (
             jnp.sum(jnp.square(w_big), axis=1, keepdims=True)
@@ -136,13 +138,63 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
             if psum_axis is not None:
                 acc = jax.lax.psum(acc, psum_axis)
             s, cnt = acc[..., :d_dim], acc[..., d_dim]
+        return s, cnt
+
+    return stats
+
+
+def _pop_update(specs, num_epochs: int):
+    """Pure finalize half: ``update(w, s, cnt, t) -> w'`` — per-member
+    traced decays + vmapped neighborhood update."""
+    spec0 = specs[0]
+
+    def update(w, s, cnt, t):
         eta, sig = _pop_decays(specs, t, num_epochs)
         upd = jax.vmap(
             lambda wf, si, ci, e, g: core._update_from_stats(spec0, wf, si, ci, e, g)
         )
         return upd(w, s, cnt, eta, sig)
 
+    return update
+
+
+def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
+    """Pure epoch step over the stacked population codebook:
+    ``step(w, data, mask, t) -> w'`` with ``w`` of shape ``(P, XY, D)``."""
+    stats = _make_pop_stats(specs, psum_axis)
+    update = _pop_update(specs, num_epochs)
+
+    def step(w, data, mask, t):
+        s, cnt = stats(w, data, mask)
+        return update(w, s, cnt, t)
+
     return step
+
+
+@lru_cache(maxsize=32)
+def make_population_stats_fn(specs, mesh: Optional[Mesh] = None):
+    """Compile the accumulate-only half of a population epoch (used by the
+    streaming path to fold superbatches, mirroring ``core.make_stats_fn``);
+    with a mesh the shard partials are psum-reduced so the result is
+    replicated."""
+    stats = _make_pop_stats(specs, psum_axis="data" if mesh is not None else None)
+    if mesh is None:
+        return jax.jit(stats)
+    sharded = jax.shard_map(
+        stats,
+        mesh=mesh,
+        in_specs=(P_(), P_("data"), P_("data")),
+        out_specs=(P_(), P_()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@lru_cache(maxsize=32)
+def make_population_update_fn(specs, num_epochs: int):
+    """Compile the finalize half: ``update(w, s, cnt, t) -> w'`` (tiny,
+    runs replicated — mirrors ``core.make_update_fn``)."""
+    return jax.jit(_pop_update(specs, num_epochs), donate_argnums=(0,))
 
 
 @lru_cache(maxsize=32)
@@ -402,9 +454,19 @@ class SomPopulation:
         ``XPySom.train``: after a failure,
         ``SomPopulation.load_checkpoint(path)`` and
         ``train(data, num_epochs, iter_beg=pop._checkpoint_epoch)``
-        resume the sweep exactly (RNG state included)."""
+        resume the sweep exactly (RNG state included).
+
+        Source-like ``data`` (anything with ``superbatches`` or an
+        ``np.memmap``) streams out-of-core, like single-model ``train``:
+        per epoch the population statistics fold over superbatches, then
+        one vmapped update runs — identical math to the resident path."""
         if iter_end is None:
             iter_end = num_epochs
+        if hasattr(data, "superbatches") or isinstance(data, np.memmap):
+            return self._train_streaming(
+                data, num_epochs, iter_beg, iter_end, verbose,
+                checkpoint_path, checkpoint_every,
+            )
         data2d = _as_numpy_2d(data)
         if data2d.shape[1] != self._input_len:
             raise ValueError(
@@ -446,6 +508,71 @@ class SomPopulation:
         self._write_back(w)
         if verbose:
             print("\n quantization errors:", self.quantization_errors(data2d))
+        return self
+
+    def _train_streaming(
+        self,
+        data,
+        num_epochs,
+        iter_beg,
+        iter_end,
+        verbose,
+        checkpoint_path,
+        checkpoint_every,
+    ):
+        """Out-of-core sweep: per epoch, fold per-member sufficient
+        statistics over streamed superbatches (``make_population_stats_fn``)
+        then apply one vmapped update — the population analog of
+        ``parallel.pipeline.train_streaming``."""
+        from ..parallel.pipeline import ArraySource, _put
+
+        source = data if hasattr(data, "superbatches") else ArraySource(data)
+        d = getattr(source, "dim", self._input_len)
+        if d != self._input_len:
+            raise ValueError(
+                "Received %d features, expected %d." % (d, self._input_len)
+            )
+        superbatch_rows = max(
+            4096, min(1 << 22, (1 << 28) // (4 * max(self._input_len, 1)))
+        )
+        specs = self._specs()
+        stats_fn = make_population_stats_fn(specs, self._mesh)
+        update_fn = make_population_update_fn(specs, num_epochs)
+        n_shards = 1 if self._mesh is None else self._mesh.devices.size
+        w = self._stacked_device_weights()
+
+        fold = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+        reporter = (
+            ProgressReporter(num_epochs * len(source)) if verbose else None
+        )
+        if reporter:
+            reporter.start()
+        n_src = len(source)
+        ckpt = bool(checkpoint_every and checkpoint_path)
+        for t in range(iter_beg, iter_end):
+            acc = None
+            for block in source.superbatches(superbatch_rows):
+                chunks, mask, _ = chunk_data(
+                    block, min(self._n_parallel, superbatch_rows),
+                    multiple_of=n_shards,
+                )
+                part = stats_fn(
+                    w,
+                    _put(chunks, self._mesh, sharded=True),
+                    _put(mask, self._mesh, sharded=True),
+                )
+                acc = part if acc is None else fold(acc, part)
+            if acc is None:
+                raise ValueError("empty data source")
+            w = update_fn(w, acc[0], acc[1], jnp.int32(t))
+            if reporter:
+                reporter.update(t * n_src + n_src - 1)
+            if ckpt and (
+                (t + 1 - iter_beg) % checkpoint_every == 0 or t + 1 == iter_end
+            ):
+                self._write_back(w)
+                self.save_checkpoint(checkpoint_path, epoch=t + 1)
+        self._write_back(w)
         return self
 
     # -- checkpointing ---------------------------------------------------------
