@@ -419,3 +419,28 @@ def test_streaming_qe_te_empty_source_nan():
         assert np.isnan(som.topographic_error(_EmptySource()))
     # predict's established empty behavior is unchanged
     assert som.predict(_EmptySource()).shape == (0,)
+
+
+def test_built_instance_never_picks_up_later_env(monkeypatch):
+    """Code-review r4: the _spec property rebuilds SomSpec per access, so
+    a later env change must NOT leak into an already-built model (the
+    'read ONCE at construction' contract). Guarded by the FROM_ENV
+    sentinel: XPySom passes its resolved values, and a concrete
+    bmu_tiles=None means 'the measured default table', not 'ask env'."""
+    monkeypatch.delenv("XPYSOM_BMU_TILES", raising=False)
+    monkeypatch.delenv("XPYSOM_BMU_PRECISION", raising=False)
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS", raising=False)
+    som = XPySom(4, 4, 8)
+    assert som._spec.bmu_tiles is None
+    # an autotune elsewhere in the process exports the env pin...
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "bf16")
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    # ...and the already-built model is untouched on every access
+    spec = som._spec
+    assert spec.bmu_tiles is None
+    assert spec.bmu_precision == "packed"
+    assert spec.use_pallas is True
+    # while a NEW model picks the env up (construction boundary)
+    fresh = XPySom(4, 4, 8)
+    assert fresh._spec.bmu_tiles == (512, 1024) or fresh._spec.bmu_tiles == (8, 128)

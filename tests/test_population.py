@@ -383,3 +383,29 @@ def test_population_streaming_checkpoint_and_validation(tmp_path):
         SomPopulation(2, 4, 4, 8, random_seed=3).train(
             ArraySource(np.zeros((0, 8), np.float32)), 1
         )
+
+
+def test_population_checkpoint_preserves_member_kernel_config(
+    tmp_path, monkeypatch
+):
+    """Code-review r4: a resumed sweep must run the SAME argmin kernel
+    the earlier epochs ran — bmu_precision travels with the population
+    checkpoint even when it was env-sourced and the loading host's env
+    differs."""
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "highest")
+    pop = SomPopulation(2, 4, 4, 8, random_seed=3)
+    assert all(m._bmu_precision == "highest" for m in pop.members)
+    p = tmp_path / "pop_cfg.npz"
+    pop.save_checkpoint(p, epoch=1)
+    monkeypatch.delenv("XPYSOM_BMU_PRECISION")
+    loaded = SomPopulation.load_checkpoint(p)
+    assert all(m._bmu_precision == "highest" for m in loaded.members)
+    # specs reflect it (the compiled programs key on this)
+    assert all(s.bmu_precision == "highest" for s in loaded._specs())
+
+
+def test_population_best_empty_raises():
+    pop = SomPopulation(2, 4, 4, 8, random_seed=0)
+    with pytest.warns(UserWarning, match="empty"):
+        with pytest.raises(ValueError, match="empty"):
+            pop.best(np.zeros((0, 8), np.float32))

@@ -98,7 +98,16 @@ def main():
             sync(w)
             t_min[depth] = min(t_min[depth], time.perf_counter() - t0)
             beg += depth
-    per_epoch = (t_min[hi] - t_min[lo]) / (hi - lo)
+    # degenerate-window guard (bench.py discipline): relay-queue swings
+    # (2s->16s round-trips, CLAUDE.md) can make t(hi) <= t(lo); fall back
+    # to the dispatch-inclusive estimate and mark the method so a bad
+    # window can never write a negative/inflated record
+    if hi > lo and t_min[hi] > t_min[lo]:
+        per_epoch = (t_min[hi] - t_min[lo]) / (hi - lo)
+        method = "slope"
+    else:
+        per_epoch = t_min[hi] / hi
+        method = "direct"
     sps = n / per_epoch
 
     # end-to-end sanity through the public API: short train + QE drop
@@ -112,6 +121,7 @@ def main():
         "topology": topology,
         "n": n,
         "samples_per_sec_per_chip": round(sps, 1),
+        "method": method,
         "ms_per_epoch": round(per_epoch * 1e3, 3),
         "t_lo": round(t_min[lo], 3),
         "t_hi": round(t_min[hi], 3),

@@ -524,7 +524,12 @@ class SomPopulation:
         statistics over streamed superbatches (``make_population_stats_fn``)
         then apply one vmapped update — the population analog of
         ``parallel.pipeline.train_streaming``."""
-        from ..parallel.pipeline import ArraySource, _put
+        from ..parallel.pipeline import (
+            ArraySource,
+            _put,
+            default_superbatch_rows,
+            fold_stats,
+        )
 
         source = data if hasattr(data, "superbatches") else ArraySource(data)
         d = getattr(source, "dim", self._input_len)
@@ -532,16 +537,13 @@ class SomPopulation:
             raise ValueError(
                 "Received %d features, expected %d." % (d, self._input_len)
             )
-        superbatch_rows = max(
-            4096, min(1 << 22, (1 << 28) // (4 * max(self._input_len, 1)))
-        )
+        superbatch_rows = default_superbatch_rows(self._input_len)
         specs = self._specs()
         stats_fn = make_population_stats_fn(specs, self._mesh)
         update_fn = make_population_update_fn(specs, num_epochs)
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
         w = self._stacked_device_weights()
 
-        fold = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
         reporter = (
             ProgressReporter(num_epochs * len(source)) if verbose else None
         )
@@ -561,7 +563,7 @@ class SomPopulation:
                     _put(chunks, self._mesh, sharded=True),
                     _put(mask, self._mesh, sharded=True),
                 )
-                acc = part if acc is None else fold(acc, part)
+                acc = part if acc is None else fold_stats(acc, part)
             if acc is None:
                 raise ValueError("empty data source")
             w = update_fn(w, acc[0], acc[1], jnp.int32(t))
@@ -613,6 +615,11 @@ class SomPopulation:
         """The member with the lowest quantization error on ``data`` — a
         normal ``XPySom`` carrying its population-trained codebook."""
         qes = self.quantization_errors(data)
+        if np.isnan(qes).all():
+            # empty data warns + NaNs in quantization_errors; argmin over
+            # all-NaN would silently "select" member 0 — model selection
+            # over nothing is an error, not a warning
+            raise ValueError("best() over an empty data set")
         return self._members_list[int(np.argmin(qes))]
 
     def __repr__(self):

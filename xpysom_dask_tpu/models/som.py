@@ -529,9 +529,10 @@ class XPySom:
         return None
 
     def _superbatch_rows(self) -> int:
-        """~256 MB device-resident blocks (matches the training pipeline's
-        sizing, parallel/pipeline.py)."""
-        return max(4096, min(1 << 22, (1 << 28) // (4 * max(self._input_len, 1))))
+        """~256 MB device-resident blocks — the pipeline's shared rule."""
+        from ..parallel.pipeline import default_superbatch_rows
+
+        return default_superbatch_rows(self._input_len)
 
     # -- activation / winner -------------------------------------------------
 

@@ -173,6 +173,21 @@ class FileSource:
         yield from ArraySource(mm).superbatches(rows)
 
 
+def default_superbatch_rows(d: int) -> int:
+    """~256 MB device-resident superbatch block, scaled by feature width
+    and clamped to [4096, 2^22] rows — the ONE sizing rule shared by the
+    single-model streaming paths (train/inference) and the population
+    sweep's streaming fold."""
+    return max(4096, min(1 << 22, (1 << 28) // (4 * max(int(d), 1))))
+
+
+@jax.jit
+def fold_stats(a, b):
+    """Elementwise tree-add of two sufficient-statistics pytrees (the
+    superbatch fold), shared by every streaming accumulator."""
+    return jax.tree.map(jnp.add, a, b)
+
+
 def _put(arr, mesh, sharded: bool):
     if mesh is None:
         return jnp.asarray(arr)
@@ -218,10 +233,6 @@ def stats_streaming(
         stats_fn = make_stats_fn(spec, mesh)
         n_shards = mesh.devices.size if mesh is not None else 1
 
-    @jax.jit
-    def fold(a, b):
-        return jax.tree.map(jnp.add, a, b)
-
     s = cnt = None
     for block in source.superbatches(superbatch_rows):
         chunks, mask, _ = chunk_data(block, chunk, multiple_of=n_shards)
@@ -231,7 +242,7 @@ def stats_streaming(
         if s is None:
             s, cnt = part
         else:
-            s, cnt = fold((s, cnt), part)
+            s, cnt = fold_stats((s, cnt), part)
     if s is None:
         raise ValueError("empty data source")
     return s, cnt
@@ -259,8 +270,9 @@ def train_streaming(
     if iter_end is None:
         iter_end = num_epochs
     if superbatch_rows is None:
-        d = getattr(source, "dim", spec.input_len)
-        superbatch_rows = max(4096, min(1 << 22, (1 << 28) // (4 * max(d, 1))))
+        superbatch_rows = default_superbatch_rows(
+            getattr(source, "dim", spec.input_len)
+        )
     if mesh is not None and _is_grid(mesh):
         from .grid_sharded import make_update_fn_2d
 

@@ -294,6 +294,21 @@ def load_population_checkpoint(path, *, mesh=None):
         gauss = np.asarray(z["rng_gauss"])
         for i, m in enumerate(pop.members):
             m._weights = w[i].copy()
+            # restore each member's kernel config with the same semantics
+            # as single-model load_checkpoint: bmu_precision is numeric
+            # and travels unconditionally (a resumed sweep must run the
+            # argmin kernel the earlier epochs ran); use_pallas/bmu_tiles
+            # are hardware tuning, stored only when explicit
+            c = cfgs[i]
+            if c.get("bmu_precision"):
+                m._bmu_precision = c["bmu_precision"]
+                m._bmu_precision_explicit = True
+            if c.get("bmu_tiles"):
+                m._bmu_tiles = tuple(c["bmu_tiles"])
+                m._bmu_tiles_explicit = True
+            if c.get("use_pallas") is not None:
+                m._use_pallas = bool(c["use_pallas"])
+                m._use_pallas_explicit = True
             m._random_generator.set_state(
                 (
                     "MT19937",
