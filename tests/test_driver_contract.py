@@ -87,6 +87,49 @@ def test_dryrun_multichip_self_provisions_like_driver():
     )
     assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
     assert "DRYRUN_OK" in out.stdout
+    # the whole point of the parity dryrun: the artifact tail carries the
+    # three strategy verdicts
+    for line in (
+        "dryrun parity [1-D data mesh x8]",
+        "dryrun parity [2-D (data=4, model=2) mesh]",
+        "dryrun parity [population P=3 over data mesh x8]",
+    ):
+        assert line in out.stdout, out.stdout[-2000:]
+
+
+def test_dryrun_multichip_parent_never_imports_jax():
+    """VERDICT r3 #1 (the round-3 rc=124): a stranded axon relay claim
+    hangs ``import jax`` in the parent for tens of minutes, so the
+    parent process must be able to complete the dryrun WITHOUT jax ever
+    being importable. Poison jax at the import machinery level; only the
+    forked forced-CPU child (a fresh interpreter) may import it."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.pop("_XSOM_DRYRUN_CHILD", None)
+    poison = (
+        "import sys, time\n"
+        "class _Hang:\n"
+        "    def find_module(self, name, path=None):\n"
+        "        if name == 'jax' or name.startswith('jax.'):\n"
+        "            raise AssertionError('parent imported jax: would hang on a stranded relay')\n"
+        "        return None\n"
+        "sys.meta_path.insert(0, _Hang())\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('PARENT_NO_JAX_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", poison],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+    assert "PARENT_NO_JAX_OK" in out.stdout
+    assert "dryrun parity [1-D data mesh x8]" in out.stdout
 
 
 @pytest.mark.parametrize(
