@@ -323,3 +323,68 @@ def test_streaming_activation_response_matches_resident():
         som.activation_response(data),
     )
     assert som.activation_response(data).sum() == len(data)
+
+
+def test_sharded_file_source_round_robin_and_parity(tmp_path):
+    """ShardedFileSource: rows inferred from file sizes, round-robin
+    shard assignment per process, streamed training == resident on the
+    concatenated shards (single-process case)."""
+    from xpysom_dask_tpu.parallel.pipeline import ShardedFileSource
+
+    rng = np.random.RandomState(4)
+    shard_sizes = [130, 70, 200]  # ragged: re-blocking must cross files
+    shards = [rng.rand(n, 4).astype(np.float32) for n in shard_sizes]
+    files = []
+    for i, s in enumerate(shards):
+        p = tmp_path / f"shard{i}.f32"
+        s.tofile(p)
+        files.append(p)
+
+    src = ShardedFileSource(files, 4, process_id=0, num_processes=1)
+    assert len(src) == sum(shard_sizes)
+    assert src.dim == 4
+    # superbatches re-block across shard boundaries
+    blocks = list(src.superbatches(64))
+    assert [b.shape[0] for b in blocks[:-1]] == [64] * (len(blocks) - 1)
+    np.testing.assert_array_equal(np.concatenate(blocks), np.concatenate(shards))
+
+    data = np.concatenate(shards)
+    resident = XPySom(5, 5, 4, random_seed=3, n_parallel=64)
+    resident.train(data, 3)
+    streamed = XPySom(5, 5, 4, random_seed=3, n_parallel=64)
+    streamed.train(
+        ShardedFileSource(files, 4, process_id=0, num_processes=1), 3
+    )
+    np.testing.assert_allclose(
+        streamed._weights, resident._weights, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_sharded_file_source_process_slicing(tmp_path):
+    """Two processes split the shard list round-robin and disjointly;
+    a process with no shard streams nothing; size/validation errors."""
+    from xpysom_dask_tpu.parallel.pipeline import ShardedFileSource
+
+    rng = np.random.RandomState(5)
+    shards = [rng.rand(n, 3).astype(np.float32) for n in (40, 50, 60)]
+    files = []
+    for i, s in enumerate(shards):
+        p = tmp_path / f"s{i}.f32"
+        s.tofile(p)
+        files.append(p)
+
+    a = ShardedFileSource(files, 3, process_id=0, num_processes=2)
+    b = ShardedFileSource(files, 3, process_id=1, num_processes=2)
+    assert [str(f) for f in a.files] == [str(files[0]), str(files[2])]
+    assert [str(f) for f in b.files] == [str(files[1])]
+    assert len(a) == 100 and len(b) == 50
+    # a third process beyond the shard count gets an empty stream
+    c = ShardedFileSource(files[:1], 3, process_id=1, num_processes=2)
+    assert len(c) == 0 and list(c.superbatches(32)) == []
+
+    with pytest.raises(ValueError, match="whole number"):
+        ShardedFileSource(files, 4, process_id=0, num_processes=1)
+    with pytest.raises(ValueError, match="at least one"):
+        ShardedFileSource([], 3)
+    with pytest.raises(ValueError, match="out of range"):
+        ShardedFileSource(files, 3, process_id=2, num_processes=2)

@@ -34,8 +34,11 @@ __all__ = [
     "ArraySource",
     "FileSource",
     "IterableSource",
+    "ShardedFileSource",
     "train_streaming",
     "stats_streaming",
+    "default_superbatch_rows",
+    "fold_stats",
 ]
 
 
@@ -171,6 +174,83 @@ class FileSource:
             self.path, dtype=np.float32, mode="r", shape=(self.n_rows, self.n_cols)
         )
         yield from ArraySource(mm).superbatches(rows)
+
+
+class ShardedFileSource:
+    """DataSource over MANY raw float32 shard files, multi-host aware:
+    each process streams only its round-robin slice of the file list
+    (``files[process_id::num_processes]``), so a multi-host data-parallel
+    run (``initialize_multihost`` + ``mesh='auto'``) reads disjoint data
+    with zero coordination — the TPU-native replacement for the reference
+    shipping per-worker Dask chunks from the driver (xpysom.py:545-558):
+    here every host pulls its own shards straight from storage and the
+    per-epoch ``psum`` is the only cross-host traffic.
+
+    Shard row counts are inferred from file sizes (must be whole float32
+    rows of ``n_cols``). Each shard streams through :class:`FileSource`
+    (the native double-buffered C++ loader when available), and blocks
+    are re-joined across shard boundaries so superbatches keep the
+    requested size.
+
+    ``process_id``/``num_processes`` default to the live JAX process
+    topology; pass them explicitly for testing or external launchers."""
+
+    def __init__(
+        self,
+        files,
+        n_cols: int,
+        *,
+        process_id=None,
+        num_processes=None,
+        n_buffers: int = 3,
+    ):
+        files = [str(f) for f in files]
+        if not files:
+            raise ValueError("ShardedFileSource needs at least one file")
+        if process_id is None:
+            process_id = jax.process_index()
+        if num_processes is None:
+            num_processes = jax.process_count()
+        if not (0 <= int(process_id) < int(num_processes)):
+            raise ValueError(
+                f"process_id {process_id} out of range for "
+                f"{num_processes} processes"
+            )
+        self.n_cols = int(n_cols)
+        self.files = files[int(process_id) :: int(num_processes)]
+        self._sources = []
+        import os as _os
+
+        for f in self.files:
+            size = _os.path.getsize(f)
+            row_bytes = 4 * self.n_cols
+            if size % row_bytes:
+                raise ValueError(
+                    f"{f}: {size} bytes is not a whole number of "
+                    f"float32 rows of {self.n_cols} columns"
+                )
+            self._sources.append(
+                FileSource(f, size // row_bytes, self.n_cols, n_buffers=n_buffers)
+            )
+
+    def __len__(self):
+        return sum(len(s) for s in self._sources)
+
+    @property
+    def dim(self):
+        return self.n_cols
+
+    def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        if not self._sources:  # more processes than shards: empty shard
+            return
+
+        def gen():
+            for s in self._sources:
+                yield from s.superbatches(rows)
+
+        # IterableSource re-blocks across shard boundaries so every
+        # superbatch (except the tail) is exactly `rows` tall
+        yield from IterableSource(gen, len(self), self.n_cols).superbatches(rows)
 
 
 def default_superbatch_rows(d: int) -> int:
