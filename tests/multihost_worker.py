@@ -89,6 +89,43 @@ def main():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(cnt)), np.asarray(cnt1), rtol=0, atol=0
     )
+    # --- round 4: streamed multi-host training parity -------------------
+    # Each process streams a DIFFERENT, UNEQUALLY-SIZED slice (the
+    # ShardedFileSource scenario): process 0 gets 180 rows, process 1
+    # gets 120, so superbatch counts differ (3 vs 2 at rows=64) and the
+    # sync layer must pad the short host with empty blocks, agree chunk
+    # counts per step, and assemble per-process-local data in process
+    # order. The result must equal a single-device resident train on the
+    # concatenation.
+    from xpysom_dask_tpu.core import make_train_fn
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource, train_streaming
+
+    full = rng.rand(300, spec.input_len).astype(np.float32)
+    splits = [full[:180], full[180:]]
+    w0 = rng.rand(spec.x, spec.y, spec.input_len).astype(np.float32)
+
+    w_stream = train_streaming(
+        spec,
+        w0,
+        ArraySource(splits[pid]),
+        num_epochs=3,
+        chunk=16,
+        superbatch_rows=64,
+        mesh=mesh,
+    )
+    chunks_f, mask_f, _ = chunk_data(full, 16)
+    w_ref = make_train_fn(spec, 3)(
+        jnp.asarray(w0),
+        jnp.asarray(chunks_f),
+        jnp.asarray(mask_f),
+        jnp.int32(0),
+        jnp.int32(3),
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_stream), np.asarray(w_ref), rtol=1e-4, atol=1e-5
+    )
+    print(f"MULTIHOST_STREAM_OK pid={pid}", flush=True)
+
     print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
     jax.distributed.shutdown()
 

@@ -444,3 +444,21 @@ def test_built_instance_never_picks_up_later_env(monkeypatch):
     # while a NEW model picks the env up (construction boundary)
     fresh = XPySom(4, 4, 8)
     assert fresh._spec.bmu_tiles == (512, 1024) or fresh._spec.bmu_tiles == (8, 128)
+
+
+def test_spec_concrete_values_validated_at_construction():
+    """Code-review r4: concrete (non-env) spec values are validated and
+    coerced at the config boundary — a list bmu_tiles must become a
+    tuple (hashability), junk must raise immediately, not at first
+    kernel trace or deep inside an lru_cache lookup."""
+    spec = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_tiles=[512, 1024])
+    assert spec.bmu_tiles == (512, 1024)
+    hash(spec)  # hashable despite the list input
+    spec2 = SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_precision="BF16")
+    assert spec2.bmu_precision == "bf16"
+    with pytest.raises(ValueError, match="bmu_precision"):
+        SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_precision="float16")
+    with pytest.raises(ValueError, match="bmu_tiles"):
+        SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_tiles=(7, 128))
+    with pytest.raises(ValueError, match="bmu_tiles"):
+        SomSpec(4, 4, 8, 2.0, 1.0, 0.5, 0.01, bmu_tiles="1024x2048")

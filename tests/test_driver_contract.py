@@ -108,13 +108,19 @@ def test_dryrun_multichip_parent_never_imports_jax():
     env["PALLAS_AXON_POOL_IPS"] = ""
     env.pop("_XSOM_DRYRUN_CHILD", None)
     poison = (
-        "import sys, time\n"
-        "class _Hang:\n"
-        "    def find_module(self, name, path=None):\n"
+        "import sys\n"
+        "class _Hang:\n"  # find_spec, NOT find_module: 3.12 dropped the
+        "    def find_spec(self, name, path=None, target=None):\n"  # legacy hook
         "        if name == 'jax' or name.startswith('jax.'):\n"
         "            raise AssertionError('parent imported jax: would hang on a stranded relay')\n"
         "        return None\n"
         "sys.meta_path.insert(0, _Hang())\n"
+        "try:\n"
+        "    import jax\n"
+        "except AssertionError:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise SystemExit('poison finder inert - test would be vacuous')\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n"
         "print('PARENT_NO_JAX_OK')\n"

@@ -56,3 +56,5 @@ def test_two_process_psum_matches_single():
     for rc, out, err in outs:
         assert rc == 0, (out + err)[-2000:]
         assert "MULTIHOST_OK" in out, out
+        # round 4: ragged per-host streamed training == resident oracle
+        assert "MULTIHOST_STREAM_OK" in out, out

@@ -149,12 +149,39 @@ class SomSpec:
                     default="highest" if self.distance == "norm_p" else "packed"
                 ),
             )
+        elif self.bmu_precision is not None:
+            # concrete values are validated HERE, at the config boundary,
+            # not at first kernel trace (far from the mistake)
+            mode = str(self.bmu_precision).lower()
+            if mode not in ("packed", "bf16", "split3", "highest", "margin"):
+                raise ValueError(
+                    f"bmu_precision={self.bmu_precision!r} not recognized "
+                    "(packed|bf16|split3|highest|margin)"
+                )
+            object.__setattr__(self, "bmu_precision", mode)
         if self.bmu_tiles is FROM_ENV:
             from .ops.pallas.bmu import _env_tiles
 
             # resolves to None when the env is unset too: None = the
             # kernels' measured per-width default table (concrete)
             object.__setattr__(self, "bmu_tiles", _env_tiles())
+        elif self.bmu_tiles is not None:
+            # coerce to a tuple (a list would silently break the spec's
+            # hashability, surfacing as a TypeError deep in lru_cache)
+            # and validate the tile contract
+            try:
+                tn, tj = (int(v) for v in self.bmu_tiles)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"bmu_tiles={self.bmu_tiles!r} invalid: expected a "
+                    "(TN, TJ) pair"
+                )
+            if tn <= 0 or tj <= 0 or tn % 8 or tj % 128:
+                raise ValueError(
+                    f"bmu_tiles={self.bmu_tiles!r} invalid: TN must be a "
+                    "positive multiple of 8 and TJ of 128"
+                )
+            object.__setattr__(self, "bmu_tiles", (tn, tj))
 
     @property
     def xy(self) -> int:

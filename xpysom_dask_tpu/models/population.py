@@ -410,21 +410,30 @@ class SomPopulation:
         return tuple(m._spec for m in self._members_list)
 
     def _stacked_device_weights(self):
+        from ..parallel.mesh import put_with_sharding
+
         w = self.weights.reshape(
             self._n_members, self._x * self._y, self._input_len
         )
         if self._mesh is not None:
-            return jax.device_put(w, replicated_sharding(self._mesh))
+            return put_with_sharding(w, replicated_sharding(self._mesh))
         return jnp.asarray(w)
 
     def _chunked(self, data2d: np.ndarray):
+        from ..parallel.mesh import put_with_sharding
+
         n = data2d.shape[0]
         chunk = min(self._n_parallel, round_up(max(n, 1), 8))
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
         if self._mesh is not None:
+            # resident data: identical on every process, multi-process-safe
             sh = data_sharding(self._mesh)
-            return jax.device_put(chunks, sh), jax.device_put(mask, sh), n
+            return (
+                put_with_sharding(chunks, sh),
+                put_with_sharding(mask, sh),
+                n,
+            )
         return jnp.asarray(chunks), jnp.asarray(mask), n
 
     def _write_back(self, w):
@@ -526,7 +535,9 @@ class SomPopulation:
         ``parallel.pipeline.train_streaming``."""
         from ..parallel.pipeline import (
             ArraySource,
+            _local_chunk_multiple,
             _put,
+            _synced_superbatches,
             default_superbatch_rows,
             fold_stats,
         )
@@ -541,7 +552,12 @@ class SomPopulation:
         specs = self._specs()
         stats_fn = make_population_stats_fn(specs, self._mesh)
         update_fn = make_population_update_fn(specs, num_epochs)
-        n_shards = 1 if self._mesh is None else self._mesh.devices.size
+        n_data = 1 if self._mesh is None else self._mesh.devices.size
+        local_mult = (
+            _local_chunk_multiple(self._mesh, n_data)
+            if self._mesh is not None
+            else 1
+        )
         w = self._stacked_device_weights()
 
         reporter = (
@@ -551,12 +567,14 @@ class SomPopulation:
             reporter.start()
         n_src = len(source)
         ckpt = bool(checkpoint_every and checkpoint_path)
+        chunk = min(self._n_parallel, superbatch_rows)
         for t in range(iter_beg, iter_end):
             acc = None
-            for block in source.superbatches(superbatch_rows):
+            for block, k in _synced_superbatches(
+                source, superbatch_rows, self._input_len, chunk, local_mult
+            ):
                 chunks, mask, _ = chunk_data(
-                    block, min(self._n_parallel, superbatch_rows),
-                    multiple_of=n_shards,
+                    block, chunk, multiple_of=local_mult, min_chunks=k
                 )
                 part = stats_fn(
                     w,

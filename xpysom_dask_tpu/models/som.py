@@ -364,11 +364,22 @@ class XPySom:
             data2d, chunk, multiple_of=self._n_shards(), min_chunks=min_chunks
         )
         if self._mesh is not None:
+            # resident data is identical on every process (the user passed
+            # the same array everywhere), so the multi-process-safe put
+            # materializes each host's own global slices
+            from ..parallel.mesh import put_with_sharding
+
             sh = data_sharding(self._mesh)
-            return jax.device_put(chunks, sh), jax.device_put(mask, sh), n
+            return (
+                put_with_sharding(chunks, sh),
+                put_with_sharding(mask, sh),
+                n,
+            )
         return jnp.asarray(chunks), jnp.asarray(mask), n
 
     def _device_weights(self):
+        from ..parallel.mesh import put_with_sharding
+
         w = np.asarray(self._weights, dtype=np.float32)
         if self._mesh is None:
             return jnp.asarray(w)
@@ -381,8 +392,8 @@ class XPySom:
                     f"grid X={self._x} must divide evenly over {n_model} "
                     f"model shards (codebook shards along X)"
                 )
-            return jax.device_put(w, codebook_sharding(self._mesh))
-        return jax.device_put(w, replicated_sharding(self._mesh))
+            return put_with_sharding(w, codebook_sharding(self._mesh))
+        return put_with_sharding(w, replicated_sharding(self._mesh))
 
     # -- introspection ------------------------------------------------------
 

@@ -7,6 +7,8 @@ from .mesh import (
     data_sharding,
     initialize_multihost,
     make_data_mesh,
+    put_process_local,
+    put_with_sharding,
     replicated_sharding,
     resolve_mesh,
 )
@@ -14,6 +16,7 @@ from .pipeline import (
     ArraySource,
     FileSource,
     IterableSource,
+    ShardedFileSource,
     stats_streaming,
     train_streaming,
 )
@@ -30,6 +33,9 @@ __all__ = [
     "ArraySource",
     "FileSource",
     "IterableSource",
+    "ShardedFileSource",
     "stats_streaming",
     "train_streaming",
+    "put_with_sharding",
+    "put_process_local",
 ]

@@ -24,6 +24,8 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "initialize_multihost",
+    "put_with_sharding",
+    "put_process_local",
 ]
 
 DATA_AXIS = "data"
@@ -95,3 +97,35 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_with_sharding(arr, sharding):
+    """``device_put`` that also works in MULTI-PROCESS runs for arrays
+    every process holds in full (codebooks, resident datasets): a plain
+    ``device_put`` cannot target non-addressable devices, so under
+    ``jax.process_count() > 1`` this routes through
+    ``make_array_from_callback`` — each process materializes exactly the
+    global slices its local devices own. Single-process: plain put."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_process_local(arr, sharding):
+    """Assemble a global array from PER-PROCESS-DISTINCT local data (the
+    streaming shards path: each host read different rows). ``arr`` is
+    this process's contribution; the global leading dim is
+    ``local · process_count``, mapped in process order by
+    ``make_array_from_process_local_data``. Every process must pass the
+    SAME local shape (the callers' superbatch synchronization
+    guarantees it). Single-process: plain put."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    gshape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, arr, gshape)

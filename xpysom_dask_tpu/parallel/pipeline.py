@@ -181,10 +181,13 @@ class ShardedFileSource:
     each process streams only its round-robin slice of the file list
     (``files[process_id::num_processes]``), so a multi-host data-parallel
     run (``initialize_multihost`` + ``mesh='auto'``) reads disjoint data
-    with zero coordination — the TPU-native replacement for the reference
-    shipping per-worker Dask chunks from the driver (xpysom.py:545-558):
-    here every host pulls its own shards straight from storage and the
-    per-epoch ``psum`` is the only cross-host traffic.
+    — the TPU-native replacement for the reference shipping per-worker
+    Dask chunks from the driver (xpysom.py:545-558): every host pulls
+    its own shards straight from storage. Cross-host traffic during the
+    epoch is the per-superbatch statistics ``psum`` plus one tiny
+    row-count allgather per superbatch (``_synced_superbatches`` keeps
+    superbatch counts/shapes aligned so ragged shard totals cannot
+    desync the collectives).
 
     Shard row counts are inferred from file sizes (must be whole float32
     rows of ``n_cols``). Each shard streams through :class:`FileSource`
@@ -269,11 +272,59 @@ def fold_stats(a, b):
 
 
 def _put(arr, mesh, sharded: bool):
+    """Device-put for the streaming paths. ``sharded=True`` means the
+    array is PER-PROCESS-DISTINCT data (each host streamed its own rows
+    — ``put_process_local`` assembles the global batch in process
+    order); ``sharded=False`` means every process holds the identical
+    full array (codebooks)."""
+    from .mesh import put_process_local, put_with_sharding
+
     if mesh is None:
         return jnp.asarray(arr)
-    return jax.device_put(
-        arr, data_sharding(mesh) if sharded else replicated_sharding(mesh)
-    )
+    if sharded:
+        return put_process_local(arr, data_sharding(mesh))
+    return put_with_sharding(arr, replicated_sharding(mesh))
+
+
+def _synced_superbatches(source, rows: int, dim: int, chunk: int, local_mult: int):
+    """Yield ``(block, min_chunks)`` pairs, SYNCHRONIZED across processes
+    in a multi-host run: every process yields the same number of pairs
+    per epoch, and ``min_chunks`` is the cross-process-agreed local chunk
+    count (max need, rounded up to ``local_mult``), so each process's
+    ``chunk_data`` output has the identical shape every step — the
+    per-superbatch ``psum`` collectives and compiled program shapes then
+    line up exactly. Hosts that run out of rows (ragged shard totals,
+    or more processes than shards) contribute empty, fully-masked
+    blocks until every host is done; one tiny host-level allgather of
+    the local row count per step is the only coordination.
+
+    Single-process: plain pass-through (``min_chunks=1``)."""
+    if jax.process_count() == 1:
+        for block in source.superbatches(rows):
+            yield block, 1
+        return
+    from jax.experimental import multihost_utils
+
+    it = iter(source.superbatches(rows))
+    while True:
+        block = next(it, None)
+        n = -1 if block is None else int(block.shape[0])
+        counts = multihost_utils.process_allgather(np.asarray([n], np.int64))
+        if int(counts.max()) < 0:
+            return  # every process is done
+        if block is None:
+            block = np.zeros((0, dim), np.float32)
+        needs = np.maximum(1, -(-np.maximum(counts, 0) // chunk))
+        k = int(needs.max())
+        yield block, -(-k // local_mult) * local_mult
+
+
+def _local_chunk_multiple(mesh, n_data: int) -> int:
+    """Chunks each PROCESS must produce a multiple of so the global batch
+    (``local · process_count`` chunks) shards evenly over the mesh's
+    ``data`` axis. Assumes the data axis splits evenly across processes
+    (the standard equal-devices-per-host topology)."""
+    return max(1, n_data // jax.process_count())
 
 
 def _is_grid(mesh):
@@ -283,13 +334,15 @@ def _is_grid(mesh):
 
 
 def _put_codebook(w, mesh):
+    from .mesh import put_with_sharding
+
     if mesh is None:
         return jnp.asarray(w)
     if _is_grid(mesh):
         from .grid_sharded import codebook_sharding
 
-        return jax.device_put(w, codebook_sharding(mesh))
-    return jax.device_put(w, replicated_sharding(mesh))
+        return put_with_sharding(w, codebook_sharding(mesh))
+    return put_with_sharding(w, replicated_sharding(mesh))
 
 
 def stats_streaming(
@@ -308,14 +361,22 @@ def stats_streaming(
         from .grid_sharded import make_stats_fn_2d
 
         stats_fn = make_stats_fn_2d(spec, mesh)
-        n_shards = int(mesh.shape["data"])
+        n_data = int(mesh.shape["data"])
     else:
         stats_fn = make_stats_fn(spec, mesh)
-        n_shards = mesh.devices.size if mesh is not None else 1
+        n_data = mesh.devices.size if mesh is not None else 1
+    # each PROCESS chunks to a multiple of its data-axis share; the
+    # assembled global batch is then a multiple of the full data axis
+    local_mult = _local_chunk_multiple(mesh, n_data) if mesh is not None else 1
+    d = getattr(source, "dim", spec.input_len)
 
     s = cnt = None
-    for block in source.superbatches(superbatch_rows):
-        chunks, mask, _ = chunk_data(block, chunk, multiple_of=n_shards)
+    for block, k in _synced_superbatches(
+        source, superbatch_rows, d, chunk, local_mult
+    ):
+        chunks, mask, _ = chunk_data(
+            block, chunk, multiple_of=local_mult, min_chunks=k
+        )
         chunks = _put(chunks, mesh, sharded=True)
         mask = _put(mask, mesh, sharded=True)
         part = stats_fn(w, chunks, mask)
