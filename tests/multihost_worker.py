@@ -126,6 +126,26 @@ def main():
     )
     print(f"MULTIHOST_STREAM_OK pid={pid}", flush=True)
 
+    # --- round 4: 2-D (data, model) mesh spanning processes --------------
+    # data axis across hosts, codebook sharded over the model axis within
+    # each host's devices; same ragged streamed input, same oracle.
+    from xpysom_dask_tpu.parallel.grid_sharded import make_grid_mesh
+
+    mesh2 = make_grid_mesh(nprocs, n_local)
+    w_stream2 = train_streaming(
+        spec,
+        w0,
+        ArraySource(splits[pid]),
+        num_epochs=3,
+        chunk=16,
+        superbatch_rows=64,
+        mesh=mesh2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_stream2), np.asarray(w_ref), rtol=1e-4, atol=1e-5
+    )
+    print(f"MULTIHOST_GRID_STREAM_OK pid={pid}", flush=True)
+
     print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
     jax.distributed.shutdown()
 

@@ -56,5 +56,7 @@ def test_two_process_psum_matches_single():
     for rc, out, err in outs:
         assert rc == 0, (out + err)[-2000:]
         assert "MULTIHOST_OK" in out, out
-        # round 4: ragged per-host streamed training == resident oracle
+        # round 4: ragged per-host streamed training == resident oracle,
+        # on both the 1-D data mesh and the 2-D (data, model) mesh
         assert "MULTIHOST_STREAM_OK" in out, out
+        assert "MULTIHOST_GRID_STREAM_OK" in out, out
