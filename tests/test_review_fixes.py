@@ -151,3 +151,95 @@ def test_autotune_kernel_maps_activation(monkeypatch):
     som2.autotune_kernel()
     assert seen["d"] == 8 * 5 and seen.get("mode") == "highest"
 
+
+
+# -- round-4 whole-package review fixes ---------------------------------------
+
+
+def test_norm_p_float_even_p_xla_path():
+    """A float integral p (2.0) selects the even GEMM branch exactly like
+    the Pallas gate; range(p+1) must not TypeError (review r4)."""
+    import jax.numpy as jnp
+
+    from xpysom_dask_tpu.ops.distances import norm_p_power_distance
+
+    x = np.random.RandomState(0).rand(6, 3).astype(np.float32)
+    w = np.random.RandomState(1).rand(8, 3).astype(np.float32)
+    d_f = np.asarray(norm_p_power_distance(jnp.asarray(x), jnp.asarray(w), p=2.0))
+    d_i = np.asarray(norm_p_power_distance(jnp.asarray(x), jnp.asarray(w), p=2))
+    np.testing.assert_allclose(d_f, d_i, rtol=1e-6)
+    # end-to-end on the XLA fallback (the crash site)
+    som = XPySom(
+        4, 4, 3, activation_distance="norm_p",
+        activation_distance_kwargs={"p": 2.0}, use_pallas=False,
+        random_seed=0,
+    )
+    som.train(np.random.RandomState(2).rand(40, 3).astype(np.float32), 2)
+    assert np.isfinite(som.get_weights()).all()
+
+
+def test_norm_p_env_precision_forced_highest(monkeypatch):
+    """A process-global XPYSOM_BMU_PRECISION must not silently degrade
+    norm_p's mandatory exactness (nor break construction via 'margin');
+    explicit kwargs still override (review r4)."""
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "packed")
+    with pytest.warns(UserWarning, match="ignored for norm_p"):
+        som = XPySom(4, 4, 3, activation_distance="norm_p",
+                     activation_distance_kwargs={"p": 4})
+    assert som._bmu_precision == "highest"
+    monkeypatch.setenv("XPYSOM_BMU_PRECISION", "margin")
+    with pytest.warns(UserWarning, match="ignored for norm_p"):
+        som2 = XPySom(4, 4, 3, activation_distance="norm_p",
+                      activation_distance_kwargs={"p": 4})
+    assert som2._bmu_precision == "highest"
+    monkeypatch.delenv("XPYSOM_BMU_PRECISION")
+    # explicit override is the user's deliberate choice
+    som3 = XPySom(4, 4, 3, activation_distance="norm_p",
+                  activation_distance_kwargs={"p": 4},
+                  bmu_precision="packed")
+    assert som3._bmu_precision == "packed"
+    # explicit margin + norm_p still rejected (now at the spec boundary)
+    with pytest.raises(ValueError, match="margin"):
+        XPySom(4, 4, 3, activation_distance="norm_p",
+               activation_distance_kwargs={"p": 4}, bmu_precision="margin")
+
+
+def test_boolean_env_switches_treat_zero_as_off(monkeypatch):
+    """FLAG=0 / false / off means OFF for every boolean XPYSOM_* switch
+    (review r4: bare truthiness read '0' as ON)."""
+    from xpysom_dask_tpu.utils.envflags import env_flag
+
+    for v in ("0", "false", "no", "off", "", "FALSE", " 0 "):
+        monkeypatch.setenv("XPYSOM_TEST_FLAG", v)
+        assert env_flag("XPYSOM_TEST_FLAG") is False, v
+    for v in ("1", "true", "yes", "anything"):
+        monkeypatch.setenv("XPYSOM_TEST_FLAG", v)
+        assert env_flag("XPYSOM_TEST_FLAG") is True, v
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "0")
+    assert XPySom(4, 4, 3)._use_pallas is True
+    monkeypatch.setenv("XPYSOM_TPU_NO_PALLAS", "1")
+    assert XPySom(4, 4, 3)._use_pallas is False
+
+
+def test_streaming_inference_gated_on_multihost_mesh(monkeypatch):
+    """Streaming INFERENCE over a process-spanning mesh raises a clear
+    NotImplementedError instead of desyncing collectives (review r4;
+    streamed TRAINING is synchronized and allowed)."""
+    import xpysom_dask_tpu.parallel.mesh as mesh_mod
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    som = XPySom(4, 4, 3, random_seed=0, mesh="auto")
+    data = np.random.RandomState(0).rand(64, 3).astype(np.float32)
+    som.train(data, 1)
+    monkeypatch.setattr(mesh_mod, "mesh_spans_processes", lambda m: True)
+    for call in (
+        lambda: som.predict(ArraySource(data)),
+        lambda: som.quantization_error(ArraySource(data)),
+        lambda: som.topographic_error(ArraySource(data)),
+        lambda: som.activation_response(ArraySource(data)),
+    ):
+        with pytest.raises(NotImplementedError, match="multi-host"):
+            call()
+    # resident inference on the same mesh is unaffected
+    monkeypatch.undo()
+    assert som.predict(data).shape == (64,)

@@ -52,6 +52,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .ops.decays import DECAY_REGISTRY
 from .ops.distances import DistanceFunction, euclidean_squared_distance_part
 from .ops.neighborhoods import apply_operator, neighborhood_operator
+from .utils.envflags import env_flag
 
 _F32 = jnp.float32
 
@@ -133,7 +134,7 @@ class SomSpec:
             object.__setattr__(
                 self,
                 "use_pallas",
-                not os.environ.get("XPYSOM_TPU_NO_PALLAS"),
+                not env_flag("XPYSOM_TPU_NO_PALLAS"),
             )
         elif self.use_pallas is not None:
             object.__setattr__(self, "use_pallas", bool(self.use_pallas))
@@ -142,13 +143,24 @@ class SomSpec:
 
             # norm_p's binomial-expansion kernel cancels catastrophically
             # below exact precision (ops.pallas.bmu.bmu_norm_p_even)
-            object.__setattr__(
-                self,
-                "bmu_precision",
-                _env_mode(
-                    default="highest" if self.distance == "norm_p" else "packed"
-                ),
+            mode = _env_mode(
+                default="highest" if self.distance == "norm_p" else "packed"
             )
+            if self.distance == "norm_p" and mode != "highest":
+                # a process-global env var set for an unrelated euclidean
+                # experiment must not silently degrade norm_p's mandatory
+                # exactness (or break construction via 'margin'); only an
+                # EXPLICIT kwarg may override the 'highest' rule
+                import warnings
+
+                warnings.warn(
+                    f"XPYSOM_BMU_PRECISION={mode!r} ignored for norm_p "
+                    "activations (the binomial expansion cancels below "
+                    "exact precision); using 'highest' — pass "
+                    "bmu_precision= explicitly to override"
+                )
+                mode = "highest"
+            object.__setattr__(self, "bmu_precision", mode)
         elif self.bmu_precision is not None:
             # concrete values are validated HERE, at the config boundary,
             # not at first kernel trace (far from the mistake)
@@ -157,6 +169,12 @@ class SomSpec:
                 raise ValueError(
                     f"bmu_precision={self.bmu_precision!r} not recognized "
                     "(packed|bf16|split3|highest|margin)"
+                )
+            if mode == "margin" and self.distance == "norm_p":
+                raise ValueError(
+                    "bmu_precision='margin' is not supported with norm_p "
+                    "activations (the expansion's cancellation defeats the "
+                    "margin gate); use 'highest'"
                 )
             object.__setattr__(self, "bmu_precision", mode)
         if self.bmu_tiles is FROM_ENV:
@@ -380,7 +398,7 @@ def _use_mosaic_scatter(spec, xy: int, d_dim: int) -> bool:
     ``make_stats_fn``) when the executable is built, never under trace —
     the env read happens at build time, the traced step closes over the
     resulting boolean."""
-    if not os.environ.get("XPYSOM_MOSAIC_SCATTER"):
+    if not env_flag("XPYSOM_MOSAIC_SCATTER"):
         return False
     use_pallas, _, _ = _bmu_config(spec)
     if use_pallas is False:

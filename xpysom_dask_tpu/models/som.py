@@ -41,6 +41,7 @@ from ..parallel.mesh import (
     replicated_sharding,
     resolve_mesh,
 )
+from ..utils.envflags import env_flag
 from ..utils.hw import default_n_parallel, round_up
 from ..utils.progress import ProgressReporter
 
@@ -193,46 +194,23 @@ class XPySom:
         self._activation_distance_kwargs = dict(activation_distance_kwargs)
         dist_obj = DistanceFunction(activation_distance, self._activation_distance_kwargs)
 
-        # First-class kernel config, resolved HERE exactly once:
-        # explicit kwarg > env switch (construction-time read) > default.
-        # The resolved values ride the hashable SomSpec so jit caches key
-        # on them — the reference's constructor-kwargs-with-ValueErrors
-        # config bar (xpysom.py:73-161) with no trace-time env staleness.
+        # First-class kernel config. Explicit kwargs are validated HERE
+        # with the reference-style error messages (constructor-kwargs-
+        # with-ValueErrors config bar, xpysom.py:73-161); RESOLUTION —
+        # env reads, norm_p safety rules, coercion — is delegated to the
+        # one documented boundary, SomSpec.__post_init__, via a config-
+        # resolution spec, and the resolved values are read back. The
+        # _spec property then always passes these CONCRETE values, so a
+        # later env change can never reach an already-built model.
         self._use_pallas_explicit = use_pallas is not None
-        if use_pallas is None:
-            use_pallas = not os.environ.get("XPYSOM_TPU_NO_PALLAS")
-        self._use_pallas = bool(use_pallas)
-
         self._bmu_precision_explicit = bmu_precision is not None
-        if bmu_precision is None:
-            from ..ops.pallas.bmu import _env_mode
-
-            # env-sourced values warn-and-fall-back on junk (a stale env
-            # var set for an unrelated experiment must not break every
-            # constructor call); explicit kwargs ValueError below.
-            # norm_p's binomial-expansion kernel cancels catastrophically
-            # below exact precision (see ops.pallas.bmu.bmu_norm_p_even)
-            bmu_precision = _env_mode(
-                default="highest" if activation_distance == "norm_p" else "packed"
-            )
-        bmu_precision = str(bmu_precision).lower()
-        if bmu_precision not in _BMU_MODES:
-            msg = "%s not supported. BMU precisions available: %s"
-            raise ValueError(msg % (bmu_precision, ", ".join(_BMU_MODES)))
-        if bmu_precision == "margin" and activation_distance == "norm_p":
-            raise ValueError(
-                "bmu_precision='margin' is not supported with norm_p "
-                "activations (the expansion's cancellation defeats the "
-                "margin gate); use 'highest'"
-            )
-        self._bmu_precision = bmu_precision
-
         self._bmu_tiles_explicit = bmu_tiles is not None
-        if bmu_tiles is None:
-            from ..ops.pallas.bmu import _env_tiles
-
-            bmu_tiles = _env_tiles()
-        else:
+        if bmu_precision is not None:
+            bmu_precision = str(bmu_precision).lower()
+            if bmu_precision not in _BMU_MODES:
+                msg = "%s not supported. BMU precisions available: %s"
+                raise ValueError(msg % (bmu_precision, ", ".join(_BMU_MODES)))
+        if bmu_tiles is not None:
             try:
                 tn, tj = (int(v) for v in bmu_tiles)
             except (TypeError, ValueError):
@@ -245,7 +223,18 @@ class XPySom:
                     "multiple of 8 and TJ of 128"
                 )
             bmu_tiles = (tn, tj)
-        self._bmu_tiles = bmu_tiles  # (TN, TJ) or None = measured defaults
+        cfg = SomSpec(
+            1, 1, 1, 1.0, 1.0, 0.5, 0.01,
+            distance=activation_distance,
+            bmu_precision=(
+                bmu_precision if self._bmu_precision_explicit else core.FROM_ENV
+            ),
+            bmu_tiles=bmu_tiles if self._bmu_tiles_explicit else core.FROM_ENV,
+            use_pallas=use_pallas if self._use_pallas_explicit else core.FROM_ENV,
+        )
+        self._bmu_precision = cfg.bmu_precision
+        self._bmu_tiles = cfg.bmu_tiles  # (TN, TJ) or None = measured defaults
+        self._use_pallas = cfg.use_pallas
 
         # The fused-kernel chunk default (16384) is only safe on paths
         # that never materialize the (chunk, XY) distance matrix — ask the
@@ -539,6 +528,24 @@ class XPySom:
             return ArraySource(data)
         return None
 
+    def _guard_multihost_streaming_inference(self):
+        """Streaming INFERENCE over a mesh that spans processes is gated:
+        per-host sources yield per-host-distinct blocks whose counts and
+        shapes are not synchronized on the inference paths (the training
+        loop is — parallel.pipeline._synced_superbatches), so collectives
+        would desync and per-row outputs would interleave wrongly. Run
+        inference per host with mesh=None (it is embarrassingly
+        parallel), or pass resident (process-identical) data."""
+        from ..parallel.mesh import mesh_spans_processes
+
+        if mesh_spans_processes(self._mesh):
+            raise NotImplementedError(
+                "streaming inference over a multi-host mesh is not "
+                "supported: run it per host with mesh=None (per-row "
+                "inference is embarrassingly parallel) or pass resident "
+                "data (identical on every process)"
+            )
+
     def _superbatch_rows(self) -> int:
         """~256 MB device-resident blocks — the pipeline's shared rule."""
         from ..parallel.pipeline import default_superbatch_rows
@@ -560,7 +567,12 @@ class XPySom:
         out = dist.flat(jnp.asarray(x2d), jnp.asarray(w_flat))
         return np.asarray(out)
 
-    def _winner_flat(self, data2d: np.ndarray, spec: SomSpec = None) -> np.ndarray:
+    def _winner_flat(
+        self, data2d: np.ndarray, spec: SomSpec = None, w=None
+    ) -> np.ndarray:
+        """``w`` lets streaming loops hoist the codebook upload out of
+        their per-superbatch iteration (re-putting a 512x512x64 codebook
+        per ~256 MB block is pure wasted transfer)."""
         spec = spec or self._spec
         chunks, _, n = self._chunked(data2d, bucket=True)
         if self._is_grid_mesh():
@@ -569,7 +581,7 @@ class XPySom:
             bmu_fn = make_bmu_fn_2d(spec, self._mesh)
         else:
             bmu_fn = core.make_bmu_fn(spec, self._mesh)
-        bmu = bmu_fn(self._device_weights(), chunks)
+        bmu = bmu_fn(self._device_weights() if w is None else w, chunks)
         return np.asarray(bmu).reshape(-1)[:n]
 
     def winner(self, x):
@@ -591,11 +603,13 @@ class XPySom:
         same duck-typing as ``train``."""
         src = self._as_source(data)
         if src is not None:
+            self._guard_multihost_streaming_inference()
             out = []
+            w = self._device_weights()  # hoisted: one upload per call
             for block in src.superbatches(self._superbatch_rows()):
                 block = np.atleast_2d(block)
                 self._check_input_len(block)
-                out.append(self._winner_flat(block))
+                out.append(self._winner_flat(block, w=w))
             if not out:
                 return np.empty(0, dtype=np.int64)
             return np.concatenate(out).astype(np.int64)
@@ -827,6 +841,7 @@ class XPySom:
         out-of-core counterpart of the resident path."""
         src = self._as_source(data)
         if src is not None:
+            self._guard_multihost_streaming_inference()
             fn = self._qe_fn()
             w = self._device_weights()
             tot = n = 0.0
@@ -858,6 +873,7 @@ class XPySom:
             return np.nan
         src = self._as_source(data)
         if src is not None:
+            self._guard_multihost_streaming_inference()
             errs = n = 0.0
             for block in src.superbatches(self._superbatch_rows()):
                 e, c = self._te_counts(np.atleast_2d(block))
@@ -1001,15 +1017,17 @@ class XPySom:
         ``predict``/``quantization_error``."""
         a = np.zeros((self._weights.shape[0], self._weights.shape[1]))
 
-        def fold(block):
+        def fold(block, w=None):
             self._check_input_len(block)
-            flat = self._winner_flat(block)
+            flat = self._winner_flat(block, w=w)
             np.add.at(a, (flat // self._y, flat % self._y), 1)
 
         src = self._as_source(data)
         if src is not None:
+            self._guard_multihost_streaming_inference()
+            w = self._device_weights()  # hoisted: one upload per call
             for block in src.superbatches(self._superbatch_rows()):
-                fold(np.atleast_2d(block))
+                fold(np.atleast_2d(block), w=w)
             return a
         fold(np.atleast_2d(_as_numpy_2d(data)))
         return a

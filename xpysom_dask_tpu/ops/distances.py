@@ -110,6 +110,10 @@ def norm_p_power_distance_even(x, w, p=2):
     Every term is an MXU matmul."""
     if p % 2 != 0:
         raise ValueError("p must be even")
+    # a float integral p (e.g. 2.0) selects this branch via `p % 2 == 0`
+    # exactly like the Pallas gate (core._pallas_bmu_kind) — coerce so
+    # range(p + 1) works and the XLA fallback matches the kernel path
+    p = int(p)
     acc = jnp.zeros((x.shape[0], w.shape[0]), dtype=_F32)
     k = 1
     for e in range(p + 1):

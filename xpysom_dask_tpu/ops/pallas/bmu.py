@@ -80,11 +80,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...utils.envflags import env_flag
+
 # Re-measurement hook (VERDICT r2 #5, measured NEUTRAL round 3 — see the
 # dimension_semantics note in bmu_euclidean): read ONCE at import so the
 # hook stays usable for per-process experiments (tools/r3_dimsem.py sets
 # the env before interpreter start) without a trace-time env read.
-_DIMSEM = bool(os.environ.get("XPYSOM_BMU_DIMSEM"))
+_DIMSEM = env_flag("XPYSOM_BMU_DIMSEM")
 
 # dtile='bf16' crashes the v5e Mosaic remote compiler at EVERY shape
 # (casting the matmul accumulator tile to bf16; BASELINE.md round 3,
@@ -92,7 +94,7 @@ _DIMSEM = bool(os.environ.get("XPYSOM_BMU_DIMSEM"))
 # so the public kernel API cannot reach a guaranteed backend crash.
 # Import-time opt-in to re-attempt on newer toolchains; interpret mode
 # always works (the lowering's fidelity is pinned by tests/test_margin_bmu).
-_DTILE_BF16_OPTIN = bool(os.environ.get("XPYSOM_DTILE_BF16"))
+_DTILE_BF16_OPTIN = env_flag("XPYSOM_DTILE_BF16")
 
 __all__ = [
     "bmu_euclidean",
@@ -199,8 +201,15 @@ def _kernel_split3(
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
     x = x_ref[:]  # (TN, D) f32
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Elision-safe in-kernel split (reviewer r4): the naive
+    # ``bf16(x - f32(bf16(x)))`` is exactly the pattern the module
+    # docstring flags as foldable-to-zero under
+    # --xla_allow_excess_precision (interpret mode runs this body as
+    # plain XLA); reduce_precision rounds explicitly and cannot be
+    # elided — same form as the host-side _split_bf16.
+    xh_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    xh = xh_f32.astype(jnp.bfloat16)
+    xl = (x - xh_f32).astype(jnp.bfloat16)
     wh = wth_ref[:]  # (D, TJ) bf16 (pre-split)
     wl = wtl_ref[:]
     cross = (

@@ -99,6 +99,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_spans_processes(mesh) -> bool:
+    """True when ``mesh`` contains devices owned by another process
+    (a multi-host mesh)."""
+    if mesh is None or jax.process_count() == 1:
+        return False
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def put_with_sharding(arr, sharding):
     """``device_put`` that also works in MULTI-PROCESS runs for arrays
     every process holds in full (codebooks, resident datasets): a plain
