@@ -99,6 +99,19 @@ def test_highest_mode_exact():
     np.testing.assert_array_equal(np.asarray(idx), ref)
 
 
+def test_split3_mode_exact_on_chip(record):
+    """split3's in-kernel x split moved to the elision-safe
+    reduce_precision form in round 4 — re-prove exactness on the real
+    Mosaic lowering (and that Mosaic accepts lax.reduce_precision in a
+    kernel at all)."""
+    x, w = _rand_problem(seed=31)
+    ref = _argmin64(x, w)
+    idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="split3")
+    flips = int((np.asarray(idx) != ref).sum())
+    record("split3_flips_vs_float64", flips)
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
 def test_centering_recovers_offset_fidelity_on_chip():
     """Offset features + smoothed (near-tied) codebook — the adversarial
     regime where the packed split's absolute error term bites. With
