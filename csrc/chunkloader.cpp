@@ -59,7 +59,13 @@ struct Loader {
     stop = false;
     eof_queued = false;
     head = tail = 0;
-    for (auto& b : ring) b.full = false;
+    consumer_holds = false;  // reset() must clear a held buffer
+    error.clear();           // ...and a previous epoch's failure, or the
+                             // documented rewind protocol returns -1 forever
+    for (auto& b : ring) {
+      b.full = false;
+      b.rows = 0;
+    }
     reader = std::thread([this] { this->run(); });
   }
 
@@ -88,7 +94,28 @@ struct Loader {
       }
       row += got;
 
+      // Short read before the declared n_rows is an ERROR, not EOF:
+      // a truncated/shrunk file or a mid-epoch read failure must raise
+      // in the consumer (rows = -1), never silently train on partial
+      // data. The np.memmap fallback raises for the same inputs.
+      std::string err;
+      if (got < want) {
+        if (std::ferror(f)) {
+          err = "read error in " + path;
+        } else {
+          err = "short file: " + path + " delivered " +
+                std::to_string(row) + " of " + std::to_string(n_rows) +
+                " declared rows";
+        }
+      }
+
       lk.lock();
+      if (!err.empty()) {
+        error = err;
+        eof_queued = true;
+        cv_consumer.notify_all();
+        break;
+      }
       b.rows = got;
       b.full = true;
       bool done = (got == 0);
@@ -159,6 +186,13 @@ void* xs_open(const char* path, int64_t n_rows, int64_t n_cols,
 
 const float* xs_acquire(void* h, int64_t* rows) {
   return static_cast<Loader*>(h)->acquire(rows);
+}
+
+// Message for the last failure (valid until the next xs_reset/xs_close);
+// empty string when no error. Lets Python raise the SPECIFIC cause
+// (short file vs read error vs open failure) instead of a generic one.
+const char* xs_error(void* h) {
+  return static_cast<Loader*>(h)->error.c_str();
 }
 
 void xs_release(void* h) { static_cast<Loader*>(h)->release(); }

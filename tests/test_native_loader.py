@@ -58,3 +58,62 @@ def test_filesource_memmap_fallback(dataset, monkeypatch):
     monkeypatch.setattr(src, "_lib", None)  # force fallback
     got = np.concatenate(list(src.superbatches(256)))
     np.testing.assert_array_equal(got, data)
+
+
+@needs_native
+def test_native_short_file_raises(tmp_path):
+    """A file shorter than the declared n_rows must raise (review r4:
+    the reader treated short reads as clean EOF and silently truncated
+    the epoch; the memmap fallback raises for the same inputs)."""
+    p = tmp_path / "short.f32"
+    np.random.RandomState(0).rand(10, 4).astype(np.float32).tofile(p)
+    src = FileSource(str(p), 16, 4)  # declares 16 rows, file has 10
+    with pytest.raises(OSError, match="short file"):
+        list(src.superbatches(8))
+
+
+@needs_native
+def test_native_reset_protocol_recovers(tmp_path):
+    """xs_reset must clear a previous epoch's error/held-buffer state
+    (review r4: `error` was never cleared, so the documented rewind
+    protocol returned -1 forever after one failed epoch). Driven at the
+    ctypes ABI level: epoch 1 fails on a short file, the file is then
+    completed, and xs_reset must stream the full epoch cleanly."""
+    import ctypes
+
+    from xpysom_dask_tpu.utils.native import load_chunkloader
+
+    lib = load_chunkloader()
+    p = tmp_path / "grow.f32"
+    data = np.random.RandomState(1).rand(12, 4).astype(np.float32)
+    data[:7].tofile(p)  # short: 7 of 12 declared rows
+
+    h = lib.xs_open(str(p).encode(), 12, 4, 5, 3)
+    assert h
+    try:
+        rows = ctypes.c_int64(0)
+        seen = 0
+        while True:
+            lib.xs_acquire(h, ctypes.byref(rows))
+            if rows.value <= 0:
+                break
+            seen += rows.value
+            lib.xs_release(h)
+        assert rows.value == -1  # the short file is an error...
+        assert b"short file" in lib.xs_error(h)
+        data.tofile(p)  # ...the file is repaired...
+        lib.xs_reset(h)  # ...and the rewind protocol must recover
+        got = []
+        while True:
+            ptr = lib.xs_acquire(h, ctypes.byref(rows))
+            if rows.value < 0:
+                raise AssertionError("reset did not clear the error state")
+            if rows.value == 0:
+                break
+            got.append(
+                np.ctypeslib.as_array(ptr, shape=(rows.value, 4)).copy()
+            )
+            lib.xs_release(h)
+        np.testing.assert_array_equal(np.concatenate(got), data)
+    finally:
+        lib.xs_close(h)

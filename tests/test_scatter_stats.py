@@ -100,6 +100,14 @@ class TestSplitScatter:
         assert _use_split_scatter(64)
         monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "0")
         assert not _use_split_scatter(512)
+        # review r4: the force hook shares the shell-style grammar of
+        # every other XPYSOM_* switch ('false' must not force the split)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "false")
+        assert not _use_split_scatter(512)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "off")
+        assert not _use_split_scatter(512)
+        monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "true")
+        assert _use_split_scatter(64)
 
     @pytest.mark.parametrize("d", [64, 128])
     def test_split_matches_fused(self, d, monkeypatch):

@@ -424,13 +424,17 @@ def _use_split_scatter(d_dim: int) -> bool:
     scatter is a tiny (N,)→(XY,) add. When D+1 rounds to the same tile
     (e.g. the D=64 flagship, 65→128 either way) the single fused
     scatter wins — one scatter pass instead of two.
-    ``XPYSOM_SPLIT_SCATTER=0/1`` forces (measurement hook).
+    ``XPYSOM_SPLIT_SCATTER`` forces (measurement hook): unset/empty =
+    this auto rule; otherwise the same truthiness grammar as every other
+    XPYSOM_* switch ('0'/'false'/'no'/'off' force fused, else split).
 
     EAGER resolver: called from factory bodies when the executable is
     built, never under trace (see ``_use_mosaic_scatter``)."""
-    env = os.environ.get("XPYSOM_SPLIT_SCATTER")
-    if env is not None and env != "":
-        return env != "0"
+    from .utils.envflags import env_tristate
+
+    forced = env_tristate("XPYSOM_SPLIT_SCATTER")
+    if forced is not None:
+        return forced
     return d_dim >= 128 and d_dim % 128 == 0
 
 

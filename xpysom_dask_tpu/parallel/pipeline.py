@@ -153,7 +153,13 @@ class FileSource:
                 got = ctypes.c_int64(0)
                 ptr = lib.xs_acquire(h, ctypes.byref(got))
                 if got.value < 0:
-                    raise OSError(f"native loader read error on {self.path}")
+                    err_fn = getattr(lib, "xs_error", None)
+                    detail = (
+                        (err_fn(h) or b"").decode(errors="replace")
+                        if err_fn
+                        else ""
+                    ) or f"read error on {self.path}"
+                    raise OSError(f"native loader: {detail}")
                 if got.value == 0:
                     break
                 # Copy out of the ring buffer (the view dies at release);

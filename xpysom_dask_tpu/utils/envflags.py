@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["env_flag"]
+__all__ = ["env_flag", "env_tristate"]
 
 _FALSY = ("", "0", "false", "no", "off")
 
@@ -20,3 +20,13 @@ def env_flag(name: str) -> bool:
     """True iff ``name`` is set to a truthy value (unset, '', '0',
     'false', 'no', 'off' — case-insensitive — are all False)."""
     return os.environ.get(name, "").strip().lower() not in _FALSY
+
+
+def env_tristate(name: str):
+    """None when unset/empty (caller's auto default), else the same
+    truthiness rule as :func:`env_flag` — for force-on/force-off hooks
+    like ``XPYSOM_SPLIT_SCATTER``."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return None
+    return raw.strip().lower() not in _FALSY

@@ -23,9 +23,16 @@ _TRIED = False
 
 
 def _build(so_path: Path) -> bool:
+    """Compile to a process-unique temp name, then atomically rename into
+    place: compiling with ``-o so_path`` would TRUNCATE the live library
+    while other processes (multi-host streaming over a shared repo FS)
+    have it mapped — overwriting their text pages — or while a third
+    process is mid-CDLL of the half-written file. ``os.replace`` swaps
+    the directory entry; live mappings keep the old inode."""
     src = _CSRC / "chunkloader.cpp"
     if not src.exists():
         return False
+    tmp = so_path.with_name(f".{so_path.name}.{os.getpid()}.tmp")
     cmd = [
         "g++",
         "-O2",
@@ -35,12 +42,17 @@ def _build(so_path: Path) -> bool:
         "-pthread",
         str(src),
         "-o",
-        str(so_path),
+        str(tmp),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
@@ -78,6 +90,11 @@ def load_chunkloader():
         lib.xs_release.argtypes = [ctypes.c_void_p]
         lib.xs_reset.argtypes = [ctypes.c_void_p]
         lib.xs_close.argtypes = [ctypes.c_void_p]
+        try:  # older cached .so builds may predate the symbol
+            lib.xs_error.restype = ctypes.c_char_p
+            lib.xs_error.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass
         _LIB = lib
         return _LIB
 

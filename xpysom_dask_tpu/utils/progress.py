@@ -33,6 +33,10 @@ class ProgressReporter:
         if self.beginning is None:
             self.start()
         elapsed = time() - self.beginning
+        # (total - t + 1), not (total - (t+1)): the ETA over-counts two
+        # work units and reports nonzero time left at 100% — deliberate
+        # observable-behavior parity with the reference's print_progress
+        # (xpysom.py:61), like the bar format itself.
         sec_left = ((self.total - t + 1) * elapsed) / (t + 1)
         time_left = str(timedelta(seconds=sec_left))[:7]
         time_elapsed = str(timedelta(seconds=elapsed))[:7]
