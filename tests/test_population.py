@@ -409,3 +409,64 @@ def test_population_best_empty_raises():
     with pytest.warns(UserWarning, match="empty"):
         with pytest.raises(ValueError, match="empty"):
             pop.best(np.zeros((0, 8), np.float32))
+
+
+def test_population_quantization_errors_streams_sources(tmp_path):
+    """quantization_errors/best accept the same source-like inputs as
+    train (review r4: the out-of-core sweep workflow must compose with
+    model selection); streamed == resident, feature validation raises
+    the reference-style error."""
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource, FileSource
+
+    data = _blobs(n=300)
+    pop = SomPopulation(3, 5, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=4)
+    pop.train(data, 2)
+    resident = pop.quantization_errors(data)
+    np.testing.assert_allclose(
+        pop.quantization_errors(ArraySource(data)), resident, rtol=1e-6
+    )
+    p = tmp_path / "pop_qe.f32"
+    data.tofile(p)
+    np.testing.assert_allclose(
+        pop.quantization_errors(FileSource(str(p), 300, 8)), resident,
+        rtol=1e-6,
+    )
+    mm = np.memmap(p, dtype=np.float32, mode="r", shape=(300, 8))
+    np.testing.assert_allclose(
+        pop.quantization_errors(mm), resident, rtol=1e-6
+    )
+    best = pop.best(ArraySource(data))
+    assert best is pop.member(int(np.argmin(resident)))
+    with pytest.raises(ValueError, match="features"):
+        pop.quantization_errors(np.zeros((10, 5), np.float32))
+    with pytest.raises(ValueError, match="features"):
+        pop.quantization_errors(ArraySource(np.zeros((10, 5), np.float32)))
+
+
+def test_population_train_rejects_negative_checkpoint_every(tmp_path):
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pop.train(_blobs(n=50), 2, checkpoint_path=tmp_path / "x",
+                  checkpoint_every=-2)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        XPySom(4, 4, 8).train(_blobs(n=50), 2,
+                              checkpoint_path=tmp_path / "y",
+                              checkpoint_every=-1)
+
+
+def test_population_empty_verbose_does_not_crash(capsys):
+    """Empty resident data with verbose=True: no ZeroDivisionError from
+    the progress bar (review r4); warns NaN QE like the quiet path."""
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    with pytest.warns(UserWarning, match="empty"):
+        pop.train(np.zeros((0, 8), np.float32), 2, verbose=True)
+    capsys.readouterr()
+
+
+def test_population_streaming_verbose_prints_qe(capsys):
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    data = _blobs(n=120)
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    pop.train(ArraySource(data), 2, verbose=True)
+    assert "quantization errors" in capsys.readouterr().out

@@ -469,6 +469,10 @@ class SomPopulation:
         ``np.memmap``) streams out-of-core, like single-model ``train``:
         per epoch the population statistics fold over superbatches, then
         one vmapped update runs — identical math to the resident path."""
+        if checkpoint_every < 0:
+            raise ValueError(
+                f"checkpoint_every={checkpoint_every} must be >= 0"
+            )
         if iter_end is None:
             iter_end = num_epochs
         if hasattr(data, "superbatches") or isinstance(data, np.memmap):
@@ -530,16 +534,15 @@ class SomPopulation:
         checkpoint_every,
     ):
         """Out-of-core sweep: per epoch, fold per-member sufficient
-        statistics over streamed superbatches (``make_population_stats_fn``)
-        then apply one vmapped update — the population analog of
-        ``parallel.pipeline.train_streaming``."""
+        statistics over streamed superbatches then apply one vmapped
+        update — the population analog of
+        ``parallel.pipeline.train_streaming``, sharing its fold loop
+        (and thus the multi-host superbatch synchronization) via
+        ``stats_streaming(stats_fn=...)``."""
         from ..parallel.pipeline import (
             ArraySource,
-            _local_chunk_multiple,
-            _put,
-            _synced_superbatches,
             default_superbatch_rows,
-            fold_stats,
+            stats_streaming,
         )
 
         source = data if hasattr(data, "superbatches") else ArraySource(data)
@@ -550,14 +553,9 @@ class SomPopulation:
             )
         superbatch_rows = default_superbatch_rows(self._input_len)
         specs = self._specs()
+        spec0 = specs[0]
         stats_fn = make_population_stats_fn(specs, self._mesh)
         update_fn = make_population_update_fn(specs, num_epochs)
-        n_data = 1 if self._mesh is None else self._mesh.devices.size
-        local_mult = (
-            _local_chunk_multiple(self._mesh, n_data)
-            if self._mesh is not None
-            else 1
-        )
         w = self._stacked_device_weights()
 
         reporter = (
@@ -569,22 +567,11 @@ class SomPopulation:
         ckpt = bool(checkpoint_every and checkpoint_path)
         chunk = min(self._n_parallel, superbatch_rows)
         for t in range(iter_beg, iter_end):
-            acc = None
-            for block, k in _synced_superbatches(
-                source, superbatch_rows, self._input_len, chunk, local_mult
-            ):
-                chunks, mask, _ = chunk_data(
-                    block, chunk, multiple_of=local_mult, min_chunks=k
-                )
-                part = stats_fn(
-                    w,
-                    _put(chunks, self._mesh, sharded=True),
-                    _put(mask, self._mesh, sharded=True),
-                )
-                acc = part if acc is None else fold_stats(acc, part)
-            if acc is None:
-                raise ValueError("empty data source")
-            w = update_fn(w, acc[0], acc[1], jnp.int32(t))
+            s, cnt = stats_streaming(
+                spec0, w, source, chunk, superbatch_rows, self._mesh,
+                stats_fn=stats_fn,
+            )
+            w = update_fn(w, s, cnt, jnp.int32(t))
             if reporter:
                 reporter.update(t * n_src + n_src - 1)
             if ckpt and (
@@ -593,6 +580,18 @@ class SomPopulation:
                 self._write_back(w)
                 self.save_checkpoint(checkpoint_path, epoch=t + 1)
         self._write_back(w)
+        if verbose:
+            # end-of-sweep QE print, matching the resident path (and the
+            # single-model streaming convention): full-source QE would
+            # re-stream everything, so evaluate on the first superbatch
+            # (bounded, deterministic sample); exhausted one-shot sources
+            # just skip the print
+            try:
+                sample = next(source.superbatches(min(n_src, 65536)))
+            except (StopIteration, ValueError):
+                sample = None
+            if sample is not None and len(sample):
+                print("\n quantization errors:", self.quantization_errors(sample))
         return self
 
     # -- checkpointing ---------------------------------------------------------
@@ -614,12 +613,46 @@ class SomPopulation:
 
     def quantization_errors(self, data) -> np.ndarray:
         """Per-member quantization error, shape ``(P,)`` — every member
-        evaluated by one compiled scan over the data."""
-        data2d = _as_numpy_2d(data)
-        chunks, mask, _ = self._chunked(data2d)
+        evaluated by one compiled scan over the data. Source-like data
+        (DataSource / ``np.memmap``) streams in superbatches like
+        single-model ``quantization_error``, folding per-member
+        (Σ errors, Σ count) on the host — the out-of-core workflow
+        ``train`` accepts composes with model selection too."""
         qe_fn = make_population_qe_fn(
             self._members_list[0]._spec, self._n_members, self._mesh
         )
+        src = XPySom._as_source(data)
+        if src is not None:
+            from ..parallel.mesh import mesh_spans_processes
+            from ..parallel.pipeline import default_superbatch_rows
+
+            if mesh_spans_processes(self._mesh):
+                raise NotImplementedError(
+                    "streaming inference over a multi-host mesh is not "
+                    "supported: run it per host with mesh=None or pass "
+                    "resident data (identical on every process)"
+                )
+            w = self._stacked_device_weights()  # one upload per call
+            tot = np.zeros((self._n_members,), np.float64)
+            n = 0.0
+            for block in src.superbatches(
+                default_superbatch_rows(self._input_len)
+            ):
+                block = np.atleast_2d(block)
+                self._check_input_len(block)
+                chunks, mask, _ = self._chunked(block)
+                t, c = qe_fn(w, chunks, mask)
+                tot += np.asarray(jax.device_get(t), dtype=np.float64)
+                n += float(c)
+            if n == 0:
+                warn(
+                    "quantization_errors over an empty data set: returning NaN"
+                )
+                return np.full((self._n_members,), np.nan, dtype=np.float64)
+            return tot / n
+        data2d = _as_numpy_2d(data)
+        self._check_input_len(data2d)
+        chunks, mask, _ = self._chunked(data2d)
         tot, n = qe_fn(self._stacked_device_weights(), chunks, mask)
         n = float(n)
         if n == 0:
@@ -628,6 +661,15 @@ class SomPopulation:
             warn("quantization_errors over an empty data set: returning NaN")
             return np.full((self._n_members,), np.nan, dtype=np.float64)
         return np.asarray(jax.device_get(tot)) / n
+
+    def _check_input_len(self, data2d) -> None:
+        """Reference-style feature validation (xpysom.py ValueError) —
+        raised eagerly instead of a cryptic trace-time shape error."""
+        if data2d.shape[-1] != self._input_len:
+            raise ValueError(
+                "Received %d features, expected %d."
+                % (data2d.shape[-1], self._input_len)
+            )
 
     def best(self, data) -> XPySom:
         """The member with the lowest quantization error on ``data`` — a

@@ -648,6 +648,10 @@ class XPySom:
         same f32 math and can diverge on near-tie codebooks — compare
         across program variants by quantization error, not bitwise
         weights (docs/MIGRATION.md, behavioral delta 7)."""
+        if checkpoint_every < 0:
+            raise ValueError(
+                f"checkpoint_every={checkpoint_every} must be >= 0"
+            )
         if iter_end is None:
             iter_end = num_epochs
 

@@ -358,19 +358,27 @@ def stats_streaming(
     chunk: int,
     superbatch_rows: int,
     mesh=None,
+    stats_fn=None,
 ):
-    """One epoch's sufficient statistics ``(S, cnt)`` folded over streamed
+    """One epoch's sufficient statistics folded over streamed
     superbatches. ``w`` must already live on device (replicated, or
     codebook-sharded on a (data, model) mesh — the statistics then stay
-    sharded over 'model')."""
-    if mesh is not None and _is_grid(mesh):
-        from .grid_sharded import make_stats_fn_2d
+    sharded over 'model').
 
-        stats_fn = make_stats_fn_2d(spec, mesh)
+    ``stats_fn`` overrides the compiled accumulator (``stats(w, data,
+    mask) -> stats-pytree``) — the population sweep passes its own so
+    the multi-host superbatch synchronization lives in exactly one
+    place; the default builds the single-model one from ``spec``."""
+    if mesh is not None and _is_grid(mesh):
         n_data = int(mesh.shape["data"])
+        if stats_fn is None:
+            from .grid_sharded import make_stats_fn_2d
+
+            stats_fn = make_stats_fn_2d(spec, mesh)
     else:
-        stats_fn = make_stats_fn(spec, mesh)
         n_data = mesh.devices.size if mesh is not None else 1
+        if stats_fn is None:
+            stats_fn = make_stats_fn(spec, mesh)
     # each PROCESS chunks to a multiple of its data-axis share; the
     # assembled global batch is then a multiple of the full data axis
     local_mult = _local_chunk_multiple(mesh, n_data) if mesh is not None else 1

@@ -30,6 +30,11 @@ class ProgressReporter:
         )
 
     def update(self, t: int):
+        if self.total <= 0 or t < 0:
+            # empty dataset (total = epochs·0 rows) or a pre-start tick:
+            # nothing meaningful to report, and t+1 == 0 would divide by
+            # zero below (review r4)
+            return
         if self.beginning is None:
             self.start()
         elapsed = time() - self.beginning
