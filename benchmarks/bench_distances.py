@@ -43,7 +43,12 @@ def main():
     w = jnp.asarray(rand_samples(args.w, args.m, seed=1))
 
     print(f"backend={jax.default_backend()} n={args.n} w={args.w} m={args.m}")
-    names = args.only or CASES.keys()
+    names = args.only or list(CASES.keys())
+    unknown = [n for n in names if n not in CASES]
+    if unknown:
+        raise SystemExit(
+            f"unknown kernel(s) {unknown}; available: {', '.join(CASES)}"
+        )
     for name in names:
         fn = jax.jit(CASES[name])
         print(bench(fn, x, w, name=name, reps=args.r))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from benchmarks.bench_utils import bench  # noqa: E402
-from xpysom_dask_tpu.core import SomSpec, chunk_data, make_epoch_fn, make_train_fn  # noqa: E402
+from xpysom_dask_tpu.core import SomSpec, chunk_data, make_train_fn  # noqa: E402
 
 
 def main():
@@ -87,43 +87,45 @@ def main():
 
     k = max(1, args.epochs_per_rep)
     schedule = max(100, (args.r + 2) * k + 1)
+    # K epochs in ONE dispatch on EVERY path — per-dispatch transport
+    # latency is load-dependent on relayed rigs (BASELINE.md), and the
+    # mesh paths must amortize it exactly like the single-chip path or
+    # mesh-vs-single comparisons are biased by (k-1) extra dispatches
     if mesh is not None:
         from xpysom_dask_tpu.parallel.grid_sharded import is_grid_mesh
 
         if is_grid_mesh(mesh):
-            from xpysom_dask_tpu.parallel.grid_sharded import make_epoch_fn_2d
+            from xpysom_dask_tpu.parallel.grid_sharded import make_train_fn_2d
 
-            step = make_epoch_fn_2d(spec, schedule, mesh)
-
-            def run_k(w, chunks, mask):
-                for t in range(k):
-                    w = step(w, chunks, mask, jnp.int32(1))
-                return w
+            train_fn = make_train_fn_2d(spec, schedule, mesh)
         else:
-            train = make_epoch_fn(spec, schedule, mesh)
-
-            def run_k(w, chunks, mask):
-                for t in range(k):
-                    w = train(w, chunks, mask, jnp.int32(1))
-                return w
+            train_fn = make_train_fn(spec, schedule, mesh)
     else:
         train_fn = make_train_fn(spec, schedule)
 
-        def run_k(w, chunks, mask):
-            # K epochs in ONE dispatch — per-dispatch transport latency is
-            # load-dependent on relayed rigs (BASELINE.md); amortize it
-            return train_fn(w, chunks, mask, jnp.int32(1), jnp.int32(1 + k))
+    def run_k(w, chunks, mask):
+        return train_fn(w, chunks, mask, jnp.int32(1), jnp.int32(1 + k))
 
-    def run(w, chunks, mask):
-        return run_k(jnp.array(w, copy=True), chunks, mask)
+    # train_fn donates the codebook, so each call needs a fresh buffer —
+    # pre-copied OUTSIDE the timed region (an in-region copy adds a
+    # dispatch + a full codebook copy to every rep's timing)
+    warmup = 2
+    copies = [jnp.array(w, copy=True) for _ in range(warmup + args.r)]
 
+    def run(chunks, mask):
+        return run_k(copies.pop(), chunks, mask)
+
+    mesh_desc = (
+        "off" if mesh is None
+        else f"data={n_shards}" + (f" model={args.model}" if args.model else "")
+    )
     print(
         f"backend={jax.default_backend()} som={args.x}x{args.y}x{args.d} "
-        f"n={args.n} chunk={args.chunk} mesh={args.mesh or 'off'}"
-        + (f" model={args.model}" if args.model else "")
-        + f" epochs/rep={k}"
+        f"n={args.n} chunk={args.chunk} mesh={mesh_desc} epochs/rep={k}"
     )
-    res = bench(run, w, chunks, mask, name=f"{k} epochs", reps=args.r)
+    res = bench(
+        run, chunks, mask, name=f"{k} epochs", reps=args.r, warmup=warmup
+    )
     print(res)
     print(f"throughput (min-based): {args.n * k / res.min:,.0f} samples/s")
 

@@ -243,3 +243,52 @@ def test_streaming_inference_gated_on_multihost_mesh(monkeypatch):
     # resident inference on the same mesh is unaffected
     monkeypatch.undo()
     assert som.predict(data).shape == (64,)
+
+
+def test_sklearn_inverse_transform_validates_labels():
+    from xpysom_dask_tpu.sklearn import SomClusterer
+
+    X = np.random.RandomState(0).rand(60, 4).astype(np.float32)
+    clf = SomClusterer(4, 4, num_epochs=2, random_seed=1).fit(X)
+    ok = clf.inverse_transform([0, 15])
+    assert ok.shape == (2, 4)
+    with pytest.raises(ValueError, match="grid indices"):
+        clf.inverse_transform([-1])  # sklearn noise label must not wrap
+    with pytest.raises(ValueError, match="grid indices"):
+        clf.inverse_transform([16])
+    assert clf.inverse_transform(np.empty(0, np.int64)).shape == (0, 4)
+
+
+def test_default_n_parallel_respects_budget():
+    """Rounding must go DOWN so the (chunk, XY) transient never exceeds
+    the element budget (review r4: xy=4000 rounded 262 up to 512)."""
+    from xpysom_dask_tpu.utils import hw
+
+    chunk = hw.default_n_parallel(4000, backend="cpu")
+    assert chunk % 256 == 0
+    assert chunk * 4000 <= hw._CPU_BUDGET or chunk == 256
+    big = hw.default_n_parallel(1, backend="cpu")
+    assert big == 65536  # clamp ceiling intact
+
+
+def test_dryrun_child_var_magic(tmp_path):
+    """A stale _XSOM_DRYRUN_CHILD=1 in the caller's env must NOT make the
+    parent run in-process (review r4) — it still forks the CPU child."""
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["_XSOM_DRYRUN_CHILD"] = "1"  # leaked truthy junk
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+    assert "dryrun parity [1-D data mesh x8]" in out.stdout

@@ -61,21 +61,41 @@ def pytest_collection_modifyitems(config, items):
         item.add_marker(skip)
 
 
+_PRECEDENCE = {"passed": 0, "skipped": 1, "failed": 2}
+
+
 def pytest_runtest_logreport(report):
-    if report.when == "call" or (report.when == "setup" and report.skipped):
+    """Fold all three phases per test, worst outcome wins: a fixture
+    ERROR (setup-phase failure) or a teardown error must surface as
+    'failed' in the committed artifact, not vanish / leave the test
+    counted 'passed' (review r4). Keys are full nodeids so same-named
+    tests in different modules can never overwrite each other."""
+    if report.when == "call":
         key = (
             "passed"
             if report.passed
             else ("skipped" if report.skipped else "failed")
         )
-        _TALLY[key] += 1
-        _OUTCOMES[report.nodeid.split("::")[-1]] = key
+    elif report.failed:  # setup/teardown error
+        key = "failed"
+    elif report.when == "setup" and report.skipped:
+        key = "skipped"
+    else:
+        return  # setup/teardown passed: no outcome information
+    prev = _OUTCOMES.get(report.nodeid)
+    if prev is None or _PRECEDENCE[key] > _PRECEDENCE[prev]:
+        _OUTCOMES[report.nodeid] = key
 
 
 def pytest_sessionfinish(session, exitstatus):
     out = os.environ.get("XSOM_TPU_TESTS_OUT")
     if not out:
         return  # only write the artifact when a round run asks for it
+    # tally derived from the folded per-test outcomes so it can never
+    # disagree with them (and setup errors are counted)
+    _TALLY.update({"passed": 0, "failed": 0, "skipped": 0})
+    for v in _OUTCOMES.values():
+        _TALLY[v] += 1
     payload = {
         "suite": "tests_tpu",
         "unix_time": int(time.time()),

@@ -149,9 +149,19 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
         return np.asarray(self.som_.distance_from_weights(X))
 
     def inverse_transform(self, labels):
-        """Codebook vector of each flat BMU index (vector quantization)."""
+        """Codebook vector of each flat BMU index (vector quantization).
+        Labels must be valid grid indices in ``[0, x*y)`` — in particular
+        sklearn's conventional noise label ``-1`` raises instead of
+        silently wrapping to the last grid node."""
         check_is_fitted(self)
-        return self.cluster_centers_[np.asarray(labels, dtype=np.int64)]
+        labels = np.asarray(labels, dtype=np.int64)
+        n_nodes = self.cluster_centers_.shape[0]
+        if labels.size and (labels.min() < 0 or labels.max() >= n_nodes):
+            raise ValueError(
+                f"labels must be flat grid indices in [0, {n_nodes}); got "
+                f"range [{labels.min()}, {labels.max()}]"
+            )
+        return self.cluster_centers_[labels]
 
     def score(self, X, y=None):
         """Negative quantization error (higher is better, sklearn

@@ -63,5 +63,8 @@ def default_n_parallel(
         return 16384
     budget = _ACCEL_BUDGET if backend in ("tpu", "gpu") else _CPU_BUDGET
     chunk = budget // max(xy, 1)
-    chunk = max(256, min(65536, chunk))
-    return round_up(chunk, 256)
+    # round DOWN to the 256 multiple (floor 256): rounding up after the
+    # division could exceed the documented element budget by ~2x at
+    # awkward XY (review r4: xy=4000 -> 262 -> round-up 512 ≈ 1.95x over)
+    chunk = max(256, min(65536, (chunk // 256) * 256))
+    return chunk
