@@ -60,13 +60,21 @@ def _emit_error(msg):
     )
 
 
-def _preflight(probe_timeout=60, retries=4, sleep_between=75):
+def _preflight(probe_timeout=None, retries=None, sleep_between=None):
     """Probe backend health in a SUBPROCESS before this process imports
     jax. A stranded axon relay claim hangs ``import jax`` for tens of
     minutes (CLAUDE.md); killing a hung *probe* subprocess is safe,
     killing a TPU-attached *run* is not — so the probe absorbs the risk.
-    Bounded retry window (~6 min) rides out transient relay outages like
-    the one that turned BENCH_r03.json red."""
+    Bounded retry window (~6 min default) rides out transient relay
+    outages like the one that turned BENCH_r03.json red; the
+    XSOM_BENCH_PREFLIGHT_* env knobs widen it for manual captures during
+    flappy windows."""
+    if probe_timeout is None:
+        probe_timeout = int(os.environ.get("XSOM_BENCH_PREFLIGHT_TIMEOUT", 60))
+    if retries is None:
+        retries = int(os.environ.get("XSOM_BENCH_PREFLIGHT_RETRIES", 4))
+    if sleep_between is None:
+        sleep_between = int(os.environ.get("XSOM_BENCH_PREFLIGHT_SLEEP", 75))
     code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))"
     last = ""
     for attempt in range(retries):
