@@ -292,3 +292,21 @@ def test_dryrun_child_var_magic(tmp_path):
     )
     assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
     assert "dryrun parity [1-D data mesh x8]" in out.stdout
+
+
+def test_epoch_anatomy_public_api():
+    """epoch_anatomy (promoted from the round-3 tools) returns a
+    per-stage decomposition with finite, positive epoch cost and
+    consistent derived fields — mechanics only on CPU; the numbers that
+    matter are measured on-chip (BASELINE.md)."""
+    from xpysom_dask_tpu.utils.profiling import epoch_anatomy
+
+    som = XPySom(6, 6, 8, random_seed=0, n_parallel=256)
+    data = np.random.RandomState(0).rand(512, 8).astype(np.float32)
+    out = epoch_anatomy(som, data, lo=1, hi=3, reps=2)
+    for k in ("bmu_ms", "stats_ms", "epoch_ms", "scatter_ms", "update_ms"):
+        assert k in out and np.isfinite(out[k]), (k, out)
+    assert out["epoch_ms"] > 0
+    assert abs(
+        out["bmu_ms"] + out["scatter_ms"] + out["update_ms"] - out["epoch_ms"]
+    ) < 1e-9
