@@ -238,3 +238,47 @@ def test_pallas_bmu_kind_gating(monkeypatch):
     # off-TPU
     monkeypatch.setattr(core.jax, "default_backend", lambda: "cpu")
     assert kind(DistanceFunction("euclidean"), 64) is None
+
+
+@pytest.mark.parametrize("mode", ["packed", "bf16"])
+@pytest.mark.parametrize("kblock", [128, 512])
+def test_kblocked_kernel_matches_2d(mode, kblock):
+    """The K-blocked wide-D candidate (round 4) must be BITWISE identical
+    to the 2-D kernel in interpret mode — same partial-dot sums (f32
+    accumulate over K tiles reassociates only across the kblock
+    boundary, which the augmented operands' zero padding makes exact),
+    same running-argmin finish."""
+    from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(120, 384).astype(np.float32)
+    w = rng.rand(500, 384).astype(np.float32)
+    idx_kb, val_kb = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode=mode,
+        kblock=kblock,
+    )
+    idx_2d, val_2d = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode=mode,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_kb), np.asarray(idx_2d))
+    np.testing.assert_allclose(
+        np.asarray(val_kb), np.asarray(val_2d), rtol=1e-6, atol=1e-6
+    )
+    if mode == "packed":
+        ref = (
+            -2 * x.astype(np.float64) @ w.T.astype(np.float64)
+            + (w.astype(np.float64) ** 2).sum(1)
+        ).argmin(1)
+        np.testing.assert_array_equal(np.asarray(idx_kb), ref)
+
+
+def test_kblocked_kernel_validation():
+    from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+    import jax.numpy as jnp
+
+    z = jnp.zeros((8, 4)), jnp.zeros((16, 4))
+    with pytest.raises(ValueError, match="kblock.*requires mode"):
+        pl_bmu.bmu_euclidean(*z, interpret=True, mode="highest", kblock=128)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        pl_bmu.bmu_euclidean(*z, interpret=True, mode="packed", kblock=100)

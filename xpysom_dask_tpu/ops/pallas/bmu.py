@@ -259,6 +259,55 @@ def _kernel_gemm_argmin(
     _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
 
 
+def _kernel_gemm_argmin_kb(
+    a_ref,
+    w_ref,
+    idx_ref,
+    val_ref,
+    d_acc_ref,
+    best_ref,
+    bestidx_ref,
+    *,
+    variant="iota",
+    dtile=jnp.float32,
+):
+    """K-BLOCKED augmented-GEMM argmin (round-4 wide-D candidate, opt-in
+    via ``bmu_euclidean(kblock=)``): grid ``(i, j, k)`` accumulates
+    partial dots over K tiles into an f32 VMEM scratch and runs the
+    shared running-argmin finish on the last K step. Rationale: at wide
+    D the full-K operand tiles of the 2-D kernel reach ~10 MB/step
+    (packed D=512: K=1552), which can defeat Mosaic's double-buffering
+    inside the scoped-VMEM budget; K-blocking shrinks the per-step
+    working set so the pipeline can overlap loads with MXU work. Whether
+    that wins in practice is measured on-chip (tools/r4_kblock.py) —
+    this is a CANDIDATE, not a default (round-3 lesson: rank variants
+    in context before claiming)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when((j == 0) & (k == 0))
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
+
+    @pl.when(k == 0)
+    def _():
+        d_acc_ref[:] = jnp.zeros_like(d_acc_ref)
+
+    d_acc_ref[:] += jnp.dot(
+        a_ref[:], w_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        d = d_acc_ref[:]
+        if dtile != jnp.float32:
+            d = d.astype(dtile)
+        _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant)
+
+
 def _kernel_gemm_top2(
     a_ref,
     w_ref,
@@ -494,6 +543,7 @@ def _env_tiles():
     jax.jit,
     static_argnames=(
         "interpret", "mode", "tiles", "finish", "rescue_frac", "dtile",
+        "kblock",
     ),
 )
 def bmu_euclidean(
@@ -508,6 +558,7 @@ def bmu_euclidean(
     finish="iota",
     rescue_frac=0.125,
     dtile="f32",
+    kblock=None,
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
@@ -559,6 +610,11 @@ def bmu_euclidean(
         # packed/split3/highest exist to make the distance exact — a
         # rounded d tile would silently undo that
         raise ValueError("dtile='bf16' requires mode 'bf16' or 'margin'")
+    if kblock is not None and mode not in ("packed", "bf16"):
+        raise ValueError(
+            "kblock (the K-blocked wide-D candidate) requires mode "
+            "'packed' or 'bf16'"
+        )
     dtile_t = jnp.bfloat16 if dtile == "bf16" else jnp.float32
     if center is not None:
         x = x - center[None, :]
@@ -647,6 +703,56 @@ def bmu_euclidean(
         waug_spec = pl.BlockSpec(
             (k_aug, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM
         )
+        if kblock is not None:
+            # K-blocked wide-D candidate (see _kernel_gemm_argmin_kb):
+            # 3-D grid accumulating partial dots over K tiles into a
+            # (TN, TJ) f32 VMEM scratch. Opt-in measurement path.
+            if kblock % 128 or kblock <= 0:
+                raise ValueError(
+                    f"kblock={kblock} must be a positive multiple of 128"
+                )
+            k_pad = -(-k_aug // kblock) * kblock
+            a = _pad_to(a, k_pad, 1, 0)
+            w_aug = _pad_to(w_aug, k_pad, 0, 0)
+            common_kb = dict(common)
+            common_kb["grid"] = (n_pad // tn, xy_pad // tj, k_pad // kblock)
+            common_kb["out_specs"] = [
+                pl.BlockSpec(
+                    (tn, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tn, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            common_kb["scratch_shapes"] = [
+                pltpu.VMEM((tn, tj), jnp.float32),  # d accumulator
+                pltpu.VMEM((tn, 1), jnp.float32),
+                pltpu.VMEM((tn, 1), jnp.int32),
+            ]
+            if not interpret:
+                params = dict(vmem_limit_bytes=100 * 1024 * 1024)
+                if _DIMSEM:
+                    params["dimension_semantics"] = (
+                        "parallel", "arbitrary", "arbitrary",
+                    )
+                common_kb["compiler_params"] = pltpu.CompilerParams(**params)
+            idx, val = pl.pallas_call(
+                partial(_kernel_gemm_argmin_kb, variant=finish, dtile=dtile_t),
+                in_specs=[
+                    pl.BlockSpec(
+                        (tn, kblock),
+                        lambda i, j, k: (i, k),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (kblock, tj),
+                        lambda i, j, k: (k, j),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                **common_kb,
+            )(a, w_aug)
+            return idx[:n, 0], val[:n, 0]
         if mode == "margin":
             out_spec = pl.BlockSpec(
                 (tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
