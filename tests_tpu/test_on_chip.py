@@ -99,17 +99,32 @@ def test_highest_mode_exact():
     np.testing.assert_array_equal(np.asarray(idx), ref)
 
 
-def test_split3_mode_exact_on_chip(record):
-    """split3's in-kernel x split moved to the elision-safe
-    reduce_precision form in round 4 — re-prove exactness on the real
-    Mosaic lowering (and that Mosaic accepts lax.reduce_precision in a
-    kernel at all)."""
+def test_split3_mode_near_exact_on_chip(record):
+    """split3's x split moved OUT of the kernel in round 4: Mosaic's
+    lowering rejects lax.reduce_precision (NotImplementedError, first
+    r4 capture), so the call site pre-splits x with the elision-safe
+    host-side _split_bf16 and both lowerings consume identical
+    operands. Unlike packed (single K-chain GEMM, measured zero flips),
+    split3 sums three separate f32 dots, and that summation-order
+    difference can flip genuine float64 near-ties (measured: 1/16384 on
+    a 1.6e-5 runner-up gap at seed 31). Pin exactly that contract:
+    every flip must be on a row whose float64 runner-up gap is below
+    1e-4 — anything else is a real kernel bug."""
     x, w = _rand_problem(seed=31)
-    ref = _argmin64(x, w)
+    d64 = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    ref = d64.argmin(1)
     idx, _ = pl_bmu.bmu_euclidean(jnp.asarray(x), jnp.asarray(w), mode="split3")
-    flips = int((np.asarray(idx) != ref).sum())
-    record("split3_flips_vs_float64", flips)
-    np.testing.assert_array_equal(np.asarray(idx), ref)
+    flipped = np.asarray(idx) != ref
+    record("split3_flips_vs_float64", int(flipped.sum()))
+    if flipped.any():
+        s = np.sort(d64[flipped], axis=1)
+        gaps = s[:, 1] - s[:, 0]
+        assert gaps.max() < 1e-4, (
+            f"split3 flipped {int(flipped.sum())} rows incl. a non-near-tie "
+            f"(max float64 runner-up gap {gaps.max():.3e})"
+        )
 
 
 def test_centering_recovers_offset_fidelity_on_chip():

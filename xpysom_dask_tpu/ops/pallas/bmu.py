@@ -46,7 +46,14 @@ one K≈3D+3 GEMM; measured zero argmin disagreements vs float64.
 with ``jax.lax.reduce_precision`` — the naive ``bf16(x - f32(bf16(x)))``
 is silently elided to zero under XLA's ``--xla_allow_excess_precision``.
 ``XPYSOM_BMU_PRECISION`` selects ``packed`` (default) / ``bf16`` /
-``split3`` (in-kernel splits) / ``highest`` (exact 6-pass f32).
+``split3`` (pre-split operands, 3 separate dots) / ``highest``
+(exact 6-pass f32). All splits happen OUTSIDE the kernels — Mosaic's
+lowering does not implement ``reduce_precision``, and the astype
+round-trip spelling is elision-prone in the interpret path. split3's
+three separate f32 dot results sum in a different order than packed's
+single K-chain accumulation, so it can flip float64-near-tie BMUs
+(measured round 4: 1/16384 on a 1.6e-5 gap); ``packed`` is the
+measured-zero-flips default.
 
 ``dtile`` (round 3): the kernel is bound on VMEM traffic over the
 (TN, TJ) distance tile (1 write + ~2.6 reads of 4·TN·TJ bytes);
@@ -181,7 +188,8 @@ def _finish(j, nj, d, idx_ref, val_ref, best_ref, bestidx_ref, variant="iota"):
 
 
 def _kernel_split3(
-    x_ref,
+    xh_ref,
+    xl_ref,
     wth_ref,
     wtl_ref,
     wsq_ref,
@@ -200,16 +208,16 @@ def _kernel_split3(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
 
-    x = x_ref[:]  # (TN, D) f32
-    # Elision-safe in-kernel split (reviewer r4): the naive
-    # ``bf16(x - f32(bf16(x)))`` is exactly the pattern the module
-    # docstring flags as foldable-to-zero under
-    # --xla_allow_excess_precision (interpret mode runs this body as
-    # plain XLA); reduce_precision rounds explicitly and cannot be
-    # elided — same form as the host-side _split_bf16.
-    xh_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
-    xh = xh_f32.astype(jnp.bfloat16)
-    xl = (x - xh_f32).astype(jnp.bfloat16)
+    # x arrives PRE-SPLIT (two bf16 operands — same HBM bytes as one
+    # f32). In-kernel splitting has no safe spelling across lowerings:
+    # lax.reduce_precision is NotImplementedError in the Mosaic
+    # lowering (TPU_TESTS_r04 first capture), and the naive
+    # ``bf16(x - f32(bf16(x)))`` folds xl to ZERO in interpret mode
+    # under --xla_allow_excess_precision (module docstring). The split
+    # therefore happens once at the call site via _split_bf16, and both
+    # lowerings consume identical operands.
+    xh = xh_ref[:]  # (TN, D) bf16
+    xl = xl_ref[:]
     wh = wth_ref[:]  # (D, TJ) bf16 (pre-split)
     wl = wtl_ref[:]
     cross = (
@@ -791,11 +799,12 @@ def bmu_euclidean(
         # silently degrading the kernel to bf16 accuracy. reduce_precision
         # performs the rounding explicitly and cannot be elided.
         wth, wtl = _split_bf16(wt)
+        xh_p, xl_p = _split_bf16(x_p)
         idx, val = pl.pallas_call(
             partial(_kernel_split3, variant=finish),
-            in_specs=[x_spec, w_spec, w_spec, wsq_spec],
+            in_specs=[x_spec, x_spec, w_spec, w_spec, wsq_spec],
             **common,
-        )(x_p, wth, wtl, wsq_p)
+        )(xh_p, xl_p, wth, wtl, wsq_p)
     else:
         idx, val = pl.pallas_call(
             partial(_kernel_highest, variant=finish),
