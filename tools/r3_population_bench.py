@@ -106,6 +106,7 @@ def main():
     speedup = (s_ser * p) / s_pop
     rec = {
         "tool": "r3_population_bench",
+        "backend": jax.default_backend(),
         "p": p,
         "shape": [x, y, d],
         "n": n,

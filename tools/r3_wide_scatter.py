@@ -48,7 +48,13 @@ def scanned(component, inner):
 
 def slope(component, args, label):
     med = {}
-    rec = {"probe": "wide_scatter", "label": label, "lo": LO, "hi": HI}
+    rec = {
+        "probe": "wide_scatter",
+        "backend": jax.default_backend(),
+        "label": label,
+        "lo": LO,
+        "hi": HI,
+    }
     for inner in (LO, HI):
         fn = scanned(component, inner)
         t0 = time.perf_counter()

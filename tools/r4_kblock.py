@@ -102,6 +102,7 @@ def main():
                     flips = None
                 rec = {
                     "tool": "r4_kblock",
+                    "backend": jax.default_backend(),
                     "shape": [n, xy, d],
                     "mode": mode,
                     "kblock": kb,
@@ -113,6 +114,7 @@ def main():
             except Exception as e:  # Mosaic reject: record and move on
                 rec = {
                     "tool": "r4_kblock",
+                    "backend": jax.default_backend(),
                     "shape": [n, xy, d],
                     "mode": mode,
                     "kblock": kb,

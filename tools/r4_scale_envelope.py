@@ -117,6 +117,7 @@ def main():
 
     rec = {
         "tool": "r4_scale_envelope",
+        "backend": jax.default_backend(),
         "shape": [xy_side, xy_side, d],
         "topology": topology,
         "n": n,
