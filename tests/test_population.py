@@ -38,7 +38,7 @@ def test_population_one_epoch_matches_serial_bitwise_class():
     pop = SomPopulation(
         3, 6, 5, 8, sigma=sigmas, learning_rate=lrs, random_seed=11
     )
-    pop.train(data, 3, iter_beg=0, iter_end=1)
+    pop.train(data, 3, iter_beg=0, iter_end=1, strategy="batched")
     for i in range(3):
         ref = XPySom(
             6, 5, 8, sigma=sigmas[i], learning_rate=lrs[i], random_seed=11 + i
@@ -53,7 +53,7 @@ def test_population_multi_epoch_qe_matches_serial():
     data = _blobs()
     sigmas = [1.0, 2.0, 3.0]
     pop = SomPopulation(3, 6, 5, 8, sigma=sigmas, random_seed=11)
-    pop.train(data, 4)
+    pop.train(data, 4, strategy="batched")
     for i in range(3):
         ref = XPySom(6, 5, 8, sigma=sigmas[i], random_seed=11 + i)
         ref.train(data, 4)
@@ -130,19 +130,19 @@ def test_population_mesh_matches_single_device():
     data = _blobs(n=300)
     kw = dict(sigma=[1.0, 2.0], learning_rate=[0.4, 0.6], random_seed=2)
     pop1 = SomPopulation(2, 5, 4, 8, **kw)
-    pop1.train(data, 2, iter_beg=0, iter_end=1)
+    pop1.train(data, 2, iter_beg=0, iter_end=1, strategy="batched")
 
     devs = np.array(jax.devices()[:4])
     mesh = Mesh(devs, axis_names=("data",))
     pop2 = SomPopulation(2, 5, 4, 8, mesh=mesh, **kw)
-    pop2.train(data, 2, iter_beg=0, iter_end=1)
+    pop2.train(data, 2, iter_beg=0, iter_end=1, strategy="batched")
 
     # one epoch: weights parity across the psum/single-device programs
     np.testing.assert_allclose(pop1.weights, pop2.weights, rtol=1e-5, atol=1e-6)
 
     # full run: QE parity (multi-epoch weights are chaos-sensitive)
-    pop1.train(data, 2, iter_beg=1, iter_end=2)
-    pop2.train(data, 2, iter_beg=1, iter_end=2)
+    pop1.train(data, 2, iter_beg=1, iter_end=2, strategy="batched")
+    pop2.train(data, 2, iter_beg=1, iter_end=2, strategy="batched")
     np.testing.assert_allclose(
         pop1.quantization_errors(data),
         pop2.quantization_errors(data),
@@ -174,7 +174,7 @@ def test_population_one_epoch_parity_nondefault(kw):
     weights match the serial twin to fp-noise."""
     data = _blobs(n=150)
     pop = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=13, **kw)
-    pop.train(data, 2, iter_beg=0, iter_end=1)
+    pop.train(data, 2, iter_beg=0, iter_end=1, strategy="batched")
     for i in range(2):
         ref = XPySom(
             5, 5, 8, sigma=[1.0, 2.0][i], random_seed=13 + i, **kw
@@ -232,7 +232,7 @@ def test_member_init_flows_into_population_training():
     np.testing.assert_allclose(pop.weights, w_init, rtol=1e-6)
 
     # and a real train from pca init matches the serial twin at one epoch
-    pop.train(data, 2, iter_beg=0, iter_end=1)
+    pop.train(data, 2, iter_beg=0, iter_end=1, strategy="batched")
     ref = XPySom(5, 5, 8, sigma=1.0, random_seed=3)
     ref.pca_weights_init(data)
     ref.train(data, 2, iter_beg=0, iter_end=1)
@@ -245,7 +245,7 @@ def test_population_single_member_degenerate():
     """P=1 is just a slower XPySom — exact one-epoch parity."""
     data = _blobs(n=100)
     pop = SomPopulation(1, 5, 5, 8, sigma=1.5, random_seed=21)
-    pop.train(data, 2, iter_beg=0, iter_end=1)
+    pop.train(data, 2, iter_beg=0, iter_end=1, strategy="batched")
     ref = XPySom(5, 5, 8, sigma=1.5, random_seed=21)
     ref.train(data, 2, iter_beg=0, iter_end=1)
     np.testing.assert_allclose(
@@ -470,3 +470,109 @@ def test_population_streaming_verbose_prints_qe(capsys):
     pop = SomPopulation(2, 4, 4, 8, random_seed=1)
     pop.train(ArraySource(data), 2, verbose=True)
     assert "quantization errors" in capsys.readouterr().out
+
+# -- strategy routing (round 4: batched measured 0.6-0.75x of serial on
+# v5e, BASELINE.md round 4 -> 'auto' routes resident data per member) ----
+
+
+def test_population_serial_bitwise_matches_individual_training():
+    """strategy='serial' (the 'auto' default for resident data) runs each
+    member through the SAME compiled program as XPySom.train with the same
+    chunking -> bit-identical weights, no fp-noise tolerance needed."""
+    data = _blobs(n=220)
+    sigmas = [1.0, 2.0, 3.0]
+    lrs = [0.5, 0.3, 0.7]
+    pop = SomPopulation(
+        3, 6, 5, 8, sigma=sigmas, learning_rate=lrs, random_seed=11
+    )
+    pop.train(data, 3, strategy="serial")
+    for i in range(3):
+        ref = XPySom(
+            6, 5, 8, sigma=sigmas[i], learning_rate=lrs[i],
+            random_seed=11 + i, n_parallel=pop._n_parallel,
+        )
+        ref.train(data, 3)
+        np.testing.assert_array_equal(
+            pop.member(i).get_weights(), ref.get_weights()
+        )
+
+
+def test_population_auto_is_serial_for_resident_data():
+    data = _blobs(n=150)
+    a = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=4)
+    a.train(data, 2)  # auto
+    b = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=4)
+    b.train(data, 2, strategy="serial")
+    np.testing.assert_array_equal(a.weights, b.weights)
+
+
+def test_population_serial_vs_batched_qe_parity():
+    """Same math, different programs: compare by QE (MIGRATION delta 7)."""
+    data = _blobs(n=240)
+    a = SomPopulation(3, 6, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=9)
+    a.train(data, 4, strategy="serial")
+    b = SomPopulation(3, 6, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=9)
+    b.train(data, 4, strategy="batched")
+    np.testing.assert_allclose(
+        a.quantization_errors(data), b.quantization_errors(data), rtol=0.05
+    )
+
+
+def test_population_strategy_validation():
+    data = _blobs(n=64)
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    with pytest.raises(ValueError, match="strategy"):
+        pop.train(data, 1, strategy="fastest")
+    # streaming sources cannot train serially (single pass serves all)
+    mm_path = None
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        mm_path = os.path.join(d, "x.dat")
+        mm = np.memmap(mm_path, dtype=np.float32, mode="w+", shape=(64, 8))
+        mm[:] = data[:64]
+        mm.flush()
+        with pytest.raises(ValueError, match="serial"):
+            pop.train(mm, 1, strategy="serial")
+        # auto on a source routes batched and works
+        pop.train(mm, 1)
+
+
+def test_population_serial_mesh_matches_single_device():
+    data = _blobs(n=300)
+    kw = dict(sigma=[1.0, 2.0], learning_rate=[0.4, 0.6], random_seed=2)
+    pop1 = SomPopulation(2, 5, 4, 8, **kw)
+    pop1.train(data, 2, iter_beg=0, iter_end=1, strategy="serial")
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, axis_names=("data",))
+    pop2 = SomPopulation(2, 5, 4, 8, mesh=mesh, **kw)
+    pop2.train(data, 2, iter_beg=0, iter_end=1, strategy="serial")
+    np.testing.assert_allclose(pop1.weights, pop2.weights, rtol=1e-5, atol=1e-6)
+
+
+def test_population_serial_checkpoint_resume(tmp_path):
+    """Serial-strategy sweeps checkpoint/resume exactly, and a resume may
+    switch strategies (checkpoints are strategy-agnostic)."""
+    data = _blobs(n=160)
+    ckpt = tmp_path / "pop_serial.npz"
+
+    full = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=5)
+    full.train(data, 6, strategy="serial")
+
+    ck = SomPopulation(2, 5, 5, 8, sigma=[1.0, 2.0], random_seed=5)
+    ck.train(
+        data, 6, strategy="serial", checkpoint_path=ckpt, checkpoint_every=3
+    )
+    np.testing.assert_array_equal(ck.weights, full.weights)
+
+    resumed = SomPopulation.load_checkpoint(ckpt)
+    assert resumed._checkpoint_epoch == 6
+    np.testing.assert_array_equal(resumed.weights, full.weights)
+
+
+def test_population_serial_verbose_path(capsys):
+    data = _blobs(n=120)
+    pop = SomPopulation(2, 4, 4, 8, random_seed=1)
+    pop.train(data, 2, verbose=True, strategy="serial")
+    out = capsys.readouterr().out
+    assert "quantization errors" in out

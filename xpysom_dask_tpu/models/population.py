@@ -1,24 +1,39 @@
-"""Population training: P same-shape SOMs in one compiled program.
+"""Population training: P same-shape SOMs behind one model-selection API.
 
 A beyond-reference capability (no counterpart in ``xpysom_dask``): the
 standard SOM model-selection workflow — train many maps that differ only
 in random seed, σ schedule, or learning-rate schedule, then keep the one
 with the lowest quantization error (Kohonen's recommended practice) — runs
-serially in the reference, once per candidate. On a TPU that is the worst
-case: a small map (say 24×24) leaves the MXU almost idle, and the sweep
-pays full dispatch + underutilization per member.
+serially in the reference, once per candidate
+(``/root/reference/xpysom_dask/xpysom.py:458-594`` per candidate).
 
-TPU-first redesign: stack the P codebooks into ONE ``(P·XY, D)`` matrix so
-the BMU search of *every member* is a single large MXU GEMM per data chunk
-(``(chunk, D) @ (D, P·XY)``), recover per-member winners with a block
-argmin over the reshaped ``(chunk, P, XY)`` distances, scatter the shared
-augmented rows ``[x | 1]·mask`` into per-member sufficient statistics with
-one vmapped scatter-add, and apply the per-member neighborhood update under
-``jax.vmap`` (each member carries its own traced ``(η_t, σ_t)``; the decay
-schedules stay static per member and unroll at trace time). The entire
-P-member multi-epoch sweep is ONE ``lax.fori_loop`` executable — zero host
-round-trips, and throughput scales with how far a single member was from
-saturating the chip.
+Two execution strategies, selected by ``train(strategy=...)``:
+
+- ``'serial'`` (the ``'auto'`` choice for resident data): each member
+  trains through the single-model fast path — the fused Pallas BMU
+  kernel with its VMEM running-argmin carry, one whole-run
+  ``core.make_train_fn`` executable per distinct schedule (a seed-only
+  sweep compiles ONCE and reuses the executable for every member; the
+  chunked data stays device-resident across members).
+
+- ``'batched'``: stack the P codebooks into ONE ``(P·XY, D)`` matrix so
+  the BMU search of every member is a single concatenated GEMM per data
+  chunk (``(chunk, D) @ (D, P·XY)``), per-member winners via a block
+  argmin over the reshaped ``(chunk, P, XY)`` distances, one vmapped
+  scatter-add into per-member sufficient statistics, per-member traced
+  ``(η_t, σ_t)`` under ``jax.vmap``; the whole P-member multi-epoch
+  sweep is ONE ``lax.fori_loop`` executable.
+
+The batched program was this module's original premise — that a small
+map leaves the MXU idle and concatenation recovers it. On-chip
+measurement FALSIFIED that at sweep-sized maps (BASELINE.md round 4:
+0.60–0.75× of serial at 24×24×16, P ∈ {4, 16, 64}, v5e): the block
+argmin forces the batched path off the fused Pallas BMU kernel, and the
+unfused GEMM + reshape-argmin + vmapped scatters cost more than the
+batching saves. The batched program is kept for what it uniquely
+provides: ONE dispatch for the entire sweep (vs P per segment), and the
+streaming path's single pass over an out-of-core source folding every
+member's statistics at once.
 
 Per-member knobs: ``random_seed``, ``sigma``, ``sigmaN``,
 ``learning_rate``, ``learning_rateN`` (scalar = shared, length-P sequence =
@@ -30,11 +45,11 @@ Members are real ``XPySom`` objects: ``member(i)`` (or ``best(data)``)
 returns a fully-functional model — predict/distance_map/serialization all
 work — whose weights are the population-trained codebook.
 
-The fused Pallas BMU kernel is NOT used here: it computes one global
-argmin, while this path needs a per-member block argmin — and the
-concatenated distance GEMM is already MXU-shaped at the small-map sizes
-population sweeps target (for one big map, use ``XPySom`` directly, where
-the fused kernel wins).
+The fused Pallas BMU kernel is used by the ``'serial'`` strategy (each
+member IS a single-model program) but not by ``'batched'``: the kernel
+computes one global argmin, while the concatenated path needs a
+per-member block argmin. That asymmetry is exactly what the round-4
+measurement above quantifies.
 """
 
 from __future__ import annotations
@@ -441,6 +456,12 @@ class SomPopulation:
         for i, m in enumerate(self._members_list):
             m._weights = w_host[i].reshape(self._x, self._y, self._input_len)
 
+    def _write_back_list(self, ws):
+        for m, w in zip(self._members_list, ws):
+            m._weights = np.asarray(
+                jax.device_get(w), dtype=np.float32
+            ).reshape(self._x, self._y, self._input_len)
+
     # -- training / evaluation ------------------------------------------------
 
     def train(
@@ -452,10 +473,33 @@ class SomPopulation:
         verbose=False,
         checkpoint_path=None,
         checkpoint_every=0,
+        strategy="auto",
     ):
         """Train every member on ``data`` for epochs ``[iter_beg, iter_end)``
-        of a ``num_epochs`` schedule — one fused executable for the whole
-        sweep (per-epoch dispatch only under ``verbose`` for progress).
+        of a ``num_epochs`` schedule.
+
+        ``strategy`` selects the execution plan (module docstring has the
+        measured trade-off, BASELINE.md round 4):
+
+        - ``'serial'``: members train one at a time through the
+          single-model fast path (fused Pallas BMU; one whole-run
+          executable per distinct schedule, reused across members; the
+          chunked data stays on device across members). Measured
+          1.3–1.7× faster per epoch than ``'batched'`` on v5e at
+          sweep-sized maps. Not available for streaming sources.
+        - ``'batched'``: the concatenated-codebook program — the whole
+          sweep is ONE executable and ONE dispatch per checkpoint
+          segment. Use when dispatch latency dominates (many tiny
+          epochs) and always for streaming sources (one pass over the
+          data folds every member's statistics).
+        - ``'auto'`` (default): ``'serial'`` for resident data,
+          ``'batched'`` for streaming sources.
+
+        Either strategy trains the same math per member; programs differ,
+        so compare across strategies by quantization error, not bitwise
+        weights (docs/MIGRATION.md, behavioral delta 7). Checkpoints are
+        strategy-agnostic: both write the same epoch-synchronized
+        population ``.npz``, and a resume may switch strategies.
 
         ``checkpoint_path`` + ``checkpoint_every=k`` write a portable
         population ``.npz`` checkpoint every k epochs (and at the end) —
@@ -473,9 +517,21 @@ class SomPopulation:
             raise ValueError(
                 f"checkpoint_every={checkpoint_every} must be >= 0"
             )
+        if strategy not in ("auto", "batched", "serial"):
+            raise ValueError(
+                f"strategy={strategy!r} must be 'auto', 'batched' or "
+                "'serial'"
+            )
         if iter_end is None:
             iter_end = num_epochs
         if hasattr(data, "superbatches") or isinstance(data, np.memmap):
+            if strategy == "serial":
+                raise ValueError(
+                    "strategy='serial' would re-read the dataset once per "
+                    "member; streaming sources make a single pass that "
+                    "serves every member — use strategy='auto' or "
+                    "'batched' for source-like data"
+                )
             return self._train_streaming(
                 data, num_epochs, iter_beg, iter_end, verbose,
                 checkpoint_path, checkpoint_every,
@@ -486,6 +542,17 @@ class SomPopulation:
                 "Received %d features, expected %d."
                 % (data2d.shape[1], self._input_len)
             )
+        if strategy != "batched":
+            self._train_serial(
+                data2d, num_epochs, iter_beg, iter_end, verbose,
+                checkpoint_path, checkpoint_every,
+            )
+            if verbose:
+                print(
+                    "\n quantization errors:",
+                    self.quantization_errors(data2d),
+                )
+            return self
         chunks, mask, n = self._chunked(data2d)
         w = self._stacked_device_weights()
         specs = self._specs()
@@ -522,6 +589,83 @@ class SomPopulation:
         if verbose:
             print("\n quantization errors:", self.quantization_errors(data2d))
         return self
+
+    def _train_serial(
+        self,
+        data2d,
+        num_epochs,
+        iter_beg,
+        iter_end,
+        verbose,
+        checkpoint_path,
+        checkpoint_every,
+    ):
+        """Per-member fast path: each member runs the SAME compiled
+        programs single-model training uses (``core.make_train_fn`` /
+        ``core.make_epoch_fn`` — fused Pallas BMU, whole-run
+        ``fori_loop``), sharing one device-resident copy of the chunked
+        data across members. ``lru_cache`` on the program builders means
+        members with identical schedules (a seed-only sweep) reuse ONE
+        executable. Chunking matches ``XPySom._chunked``'s training
+        branch (1024-aligned), so a no-mesh serial sweep is bit-identical
+        to training each member individually."""
+        from ..parallel.mesh import put_with_sharding
+
+        n = data2d.shape[0]
+        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        if chunk > 1024:
+            chunk = max(1024, (chunk // 1024) * 1024)
+        n_shards = 1 if self._mesh is None else self._mesh.devices.size
+        chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
+        if self._mesh is not None:
+            sh = data_sharding(self._mesh)
+            chunks = put_with_sharding(chunks, sh)
+            mask = put_with_sharding(mask, sh)
+        else:
+            chunks, mask = jnp.asarray(chunks), jnp.asarray(mask)
+
+        def member_w(m):
+            w = np.asarray(m._weights, dtype=np.float32)
+            if self._mesh is not None:
+                return put_with_sharding(w, replicated_sharding(self._mesh))
+            return jnp.asarray(w)
+
+        ws = [member_w(m) for m in self._members_list]
+        ckpt = bool(checkpoint_every and checkpoint_path)
+
+        if verbose:
+            reporter = ProgressReporter(num_epochs * n)
+            reporter.start()
+            for t in range(iter_beg, iter_end):
+                for i, m in enumerate(self._members_list):
+                    epoch_fn = core.make_epoch_fn(
+                        m._spec, num_epochs, self._mesh
+                    )
+                    ws[i] = epoch_fn(ws[i], chunks, mask, jnp.int32(t))
+                reporter.update(t * n + n - 1)
+                if ckpt and (
+                    (t + 1 - iter_beg) % checkpoint_every == 0
+                    or t + 1 == iter_end
+                ):
+                    self._write_back_list(ws)
+                    self.save_checkpoint(checkpoint_path, epoch=t + 1)
+        else:
+            seg = checkpoint_every if ckpt else (iter_end - iter_beg)
+            for seg_beg in range(iter_beg, iter_end, max(seg, 1)):
+                seg_end = min(seg_beg + seg, iter_end)
+                for i, m in enumerate(self._members_list):
+                    train_fn = core.make_train_fn(
+                        m._spec, num_epochs, self._mesh
+                    )
+                    ws[i] = train_fn(
+                        ws[i], chunks, mask,
+                        jnp.int32(seg_beg), jnp.int32(seg_end),
+                    )
+                if ckpt:
+                    self._write_back_list(ws)
+                    self.save_checkpoint(checkpoint_path, epoch=seg_end)
+
+        self._write_back_list(ws)
 
     def _train_streaming(
         self,
