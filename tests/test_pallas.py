@@ -282,3 +282,66 @@ def test_kblocked_kernel_validation():
         pl_bmu.bmu_euclidean(*z, interpret=True, mode="highest", kblock=128)
     with pytest.raises(ValueError, match="multiple of 128"):
         pl_bmu.bmu_euclidean(*z, interpret=True, mode="packed", kblock=100)
+
+
+def test_bmu_top2_matches_stable_argsort():
+    """top2=True returns the first two columns of a stable argsort of
+    the float64 distance matrix (the reference's topographic_error
+    selection, xpysom.py:731-734) — both indices, exact, across
+    padding/tile shapes."""
+    rng = np.random.RandomState(7)
+    for n, xy, d in [(300, 333, 7), (256, 2048, 64), (64, 25, 3)]:
+        x = rng.rand(n, d).astype(np.float32)
+        w = rng.rand(xy, d).astype(np.float32)
+        i1, v1, i2, v2 = pl_bmu.bmu_euclidean(
+            jnp.asarray(x), jnp.asarray(w), interpret=True, top2=True
+        )
+        dref = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+            w.astype(np.float64) ** 2
+        ).sum(1)
+        ref = np.argsort(dref, axis=1, kind="stable")[:, :2]
+        np.testing.assert_array_equal(np.asarray(i1), ref[:, 0])
+        np.testing.assert_array_equal(np.asarray(i2), ref[:, 1])
+        # val/val2 are the corresponding partial distances
+        np.testing.assert_allclose(
+            np.asarray(v1), np.take_along_axis(dref, ref[:, :1], 1)[:, 0],
+            rtol=1e-5, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.take_along_axis(dref, ref[:, 1:], 1)[:, 0],
+            rtol=1e-5, atol=1e-4,
+        )
+
+
+def test_bmu_top2_duplicate_minimum_across_tiles():
+    """A duplicate-valued minimum in a DIFFERENT lane tile must come out
+    as the second BMU (stable-argsort semantics), not be skipped by the
+    winning-lane mask."""
+    x = np.zeros((4, 3), np.float32)
+    x[1] = 5
+    w = np.zeros((2100, 3), np.float32)
+    w[7] = 5
+    w[1500] = 5  # identical best row, two lane tiles away
+    i1, _, i2, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, top2=True
+    )
+    assert int(i1[1]) == 7 and int(i2[1]) == 1500
+    # and within one tile
+    w2 = np.zeros((200, 3), np.float32)
+    w2[7] = 5
+    w2[9] = 5
+    i1, _, i2, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w2), interpret=True, top2=True
+    )
+    assert int(i1[1]) == 7 and int(i2[1]) == 9
+
+
+def test_bmu_top2_validation():
+    x = jnp.zeros((8, 4), jnp.float32)
+    w = jnp.zeros((16, 4), jnp.float32)
+    with pytest.raises(ValueError, match="top2"):
+        pl_bmu.bmu_euclidean(x, w, interpret=True, top2=True, mode="highest")
+    with pytest.raises(ValueError, match="top2"):
+        pl_bmu.bmu_euclidean(
+            x, w, interpret=True, top2=True, kblock=128
+        )

@@ -626,3 +626,36 @@ def test_scale_envelope_512_smoke_on_chip(record):
     record("scale512_qe_before", round(qe_before, 5))
     record("scale512_qe_after", round(qe_after, 5))
     assert qe_after < qe_before
+
+
+def test_fused_top2_te_matches_fallback_on_chip(record):
+    """Round 4: topographic_error's top-2 BMU search moved onto the
+    fused kernel (`bmu_euclidean(top2=True)`) after the XLA fallback
+    (materialized matrix + lax.top_k) measured 225x slower at the
+    flagship shape. Pin (a) top-2 indices vs float64 stable argsort on
+    the packed-claim workload, and (b) end-to-end TE equality between
+    the fused path and the use_pallas=False fallback."""
+    x, w = _rand_problem(n=8192, xy=4096, d=64, seed=21)
+    i1, _, i2, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), top2=True
+    )
+    d64 = -2 * x.astype(np.float64) @ w.T.astype(np.float64) + (
+        w.astype(np.float64) ** 2
+    ).sum(1)
+    ref = np.argsort(d64, axis=1, kind="stable")[:, :2]
+    record("top2_idx1_flips_vs_float64", int((np.asarray(i1) != ref[:, 0]).sum()))
+    record("top2_idx2_flips_vs_float64", int((np.asarray(i2) != ref[:, 1]).sum()))
+    np.testing.assert_array_equal(np.asarray(i1), ref[:, 0])
+    np.testing.assert_array_equal(np.asarray(i2), ref[:, 1])
+
+    rng = np.random.RandomState(22)
+    data = rng.rand(4096, 16).astype(np.float32)
+    som_f = XPySom(24, 24, 16, sigma=8.0, random_seed=9)
+    som_f.train(data, 3)
+    som_nf = XPySom(24, 24, 16, sigma=8.0, random_seed=9, use_pallas=False)
+    som_nf._weights = som_f.get_weights().copy()  # same trained codebook
+    te_fused = float(som_f.topographic_error(data))
+    te_fallback = float(som_nf.topographic_error(data))
+    record("te_fused", round(te_fused, 6))
+    record("te_fallback", round(te_fallback, 6))
+    assert te_fused == pytest.approx(te_fallback, abs=2e-3)

@@ -102,6 +102,57 @@ def main():
         }
     )
 
+    # ---- TE: the heaviest eval op (top-2 BMU over the full distance
+    # matrix, reference xpysom.py:709-746), chunked at _matrix_chunk ----
+    te = core.make_topographic_stats_fn(spec)
+    # mirror som._te_counts' chunk policy: training-sized chunks when the
+    # fused top-2 kernel runs (matrix never materializes), _matrix_chunk
+    # for the lax.top_k fallback
+    te_chunk = None if core.te_uses_fused(spec) else som._matrix_chunk
+    te_chunks, te_mask, _ = som._chunked(data, chunk=te_chunk)
+
+    @partial(jax.jit, static_argnames=("inner",))
+    def te_scanned(w, chunks, mask, inner):
+        def body(c, _):
+            errs, cnt = te(w * (1.0 + c), chunks, mask)
+            return jnp.float32(1e-30) * jnp.tanh(errs), (errs, cnt)
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        return c
+
+    t_min = {}
+    for depth in (lo, hi):
+        t0 = time.perf_counter()
+        float(te_scanned(w, te_chunks, te_mask, depth))
+        first = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(te_scanned(w, te_chunks, te_mask, depth))
+            best = min(best, time.perf_counter() - t0)
+        t_min[depth] = best
+        print(f"TE inner={depth}: first {first:.1f}s best {best:.3f}s", file=sys.stderr)
+    if t_min[hi] > t_min[lo]:
+        per_exec = (t_min[hi] - t_min[lo]) / (hi - lo)
+        method = "slope"
+    else:
+        per_exec = t_min[hi] / hi
+        method = "direct"
+    emit(
+        {
+            "tool": "r4_eval_soak",
+            "probe": "te_eval_throughput",
+            "backend": jax.default_backend(),
+            "shape": [side, side, d],
+            "n": n,
+            "te_chunk": int(te_chunk) if te_chunk else int(som._n_parallel),
+            "fused_top2": bool(core.te_uses_fused(spec)),
+            "ms_per_eval": round(per_exec * 1e3, 3),
+            "samples_per_sec_per_chip": round(n / per_exec, 1),
+            "method": method,
+        }
+    )
+
     # ---- soak: one whole-run dispatch of soak_epochs training epochs ----
     fn = core.make_train_fn(spec, soak_epochs)
     tot0, cnt0 = qe(w, chunks, mask)

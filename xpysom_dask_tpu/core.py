@@ -762,6 +762,22 @@ def make_quantization_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     return jax.jit(sharded)
 
 
+def te_uses_fused(spec: "SomSpec") -> bool:
+    """Whether ``topographic_error``'s top-2 BMU search runs the fused
+    Pallas kernel (``bmu_euclidean(top2=True)``) instead of materializing
+    the (chunk, XY) distance matrix for ``lax.top_k``. Euclidean by
+    definition (reference xpysom.py:731); same gating as ``_bmu_chunk``'s
+    euclidean path. Callers use this to size chunks: the fused path never
+    materializes the matrix, so it takes training-sized chunks instead of
+    the ``_matrix_chunk`` budget."""
+    return (
+        _pallas_bmu_kind(
+            DistanceFunction("euclidean"), spec.input_len, spec.use_pallas
+        )
+        == "euclidean"
+    )
+
+
 @lru_cache(maxsize=64)
 def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     """Compile topographic-error statistics:
@@ -787,6 +803,12 @@ def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     xx = jnp.asarray(xx_np, _F32)
     yy = jnp.asarray(yy_np, _F32)
 
+    use_fused = te_uses_fused(spec)
+    # TE's search is exact-by-contract like training's: map the non-GEMM
+    # precision modes onto the exact packed split (margin exists to BE
+    # exact; split3/highest are exact by other means), keep bf16 opt-in
+    fused_mode = "bf16" if spec.bmu_precision == "bf16" else "packed"
+
     def run(w, data, mask):
         w_flat = w.reshape(xy, spec.input_len)
         w_sq = jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
@@ -794,8 +816,25 @@ def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
         def body(carry, xs):
             errs, n = carry
             x, m = xs
-            d = euclidean_squared_distance_part(x, w_flat, w_sq)
-            _, idx2 = jax.lax.top_k(-d, 2)
+            if use_fused:
+                # fused top-2 BMU: the (chunk, XY) distance matrix never
+                # leaves VMEM (vs materializing it for lax.top_k below —
+                # measured 225x slower at the flagship shape, BASELINE.md
+                # round 4). Centered like training's _bmu_chunk.
+                from .ops.pallas.bmu import bmu_euclidean
+
+                i1, _, i2, _ = bmu_euclidean(
+                    x,
+                    w_flat,
+                    center=jnp.mean(w_flat, axis=0),
+                    mode=fused_mode,
+                    tiles=spec.bmu_tiles,
+                    top2=True,
+                )
+                idx2 = jnp.stack([i1, i2], axis=1)
+            else:
+                d = euclidean_squared_distance_part(x, w_flat, w_sq)
+                _, idx2 = jax.lax.top_k(-d, 2)
             b1x, b1y = idx2[:, 0] // spec.y, idx2[:, 0] % spec.y
             b2x, b2y = idx2[:, 1] // spec.y, idx2[:, 1] % spec.y
             if spec.topology == "rectangular":

@@ -902,11 +902,16 @@ class XPySom:
         if self._x * self._y == 1:
             warn("The topographic error is not defined for a 1-by-1 map.")
             return np.nan, 1.0
-        # top-2 selection materializes (chunk, XY/shards) distances —
-        # budget the chunk independently of the fused training default
-        chunks, mask, _ = self._chunked(
-            data2d, chunk=self._matrix_chunk, bucket=True
+        # fallback top-2 selection materializes (chunk, XY/shards)
+        # distances — budget the chunk independently of the fused
+        # training default; the fused top-2 kernel (core.te_uses_fused)
+        # keeps the matrix in VMEM and takes training-sized chunks
+        te_chunk = (
+            None
+            if (not self._is_grid_mesh() and core.te_uses_fused(self._spec))
+            else self._matrix_chunk
         )
+        chunks, mask, _ = self._chunked(data2d, chunk=te_chunk, bucket=True)
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import (
                 MODEL_AXIS,

@@ -322,20 +322,26 @@ def _kernel_gemm_top2(
     idx_ref,
     val_ref,
     val2_ref,
+    idx2_ref,
     best_ref,
     bestidx_ref,
     best2_ref,
+    bestidx2_ref,
     *,
     dtile=jnp.float32,
 ):
-    """Augmented-GEMM kernel (bf16 single pass, like ``_kernel_gemm_argmin``
-    with mode='bf16') whose finish ALSO carries the second-best distance —
-    the margin ``val2 − val`` is what gates the exact re-rank in
-    ``mode='margin'`` (see bmu_euclidean). Top-2 merge across tiles:
-    ``m2' = min(m2, t2, max(m1, t1))``; within a tile the second-best
-    excludes the first winning LANE (not the winning value), so duplicate
-    minima yield margin 0 and are always re-ranked — first-index
-    tie-breaking survives the two-pass scheme."""
+    """Augmented-GEMM kernel (one MXU pass over whatever operand packing
+    the caller prepared — bf16 single-pass for ``mode='margin'``, the
+    exact packed split for ``top2=True``) whose finish carries the
+    second-best distance AND its index. The margin ``val2 − val`` gates
+    the exact re-rank in ``mode='margin'``; ``idx2`` is what
+    ``topographic_error``'s top-2 BMU search consumes (top2=True in
+    bmu_euclidean). Top-2 merge across tiles: ``m2' = min(m2, t2,
+    max(m1, t1))`` with value-then-lowest-index ordering, so the result
+    matches a stable argsort's first two columns; within a tile the
+    second-best excludes the first winning LANE (not the winning
+    value), so a duplicate minimum IS the second-best (margin 0, always
+    re-ranked; idx2 = the duplicate's index, as argsort gives)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -344,23 +350,29 @@ def _kernel_gemm_top2(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
         best2_ref[:] = jnp.full_like(best2_ref, jnp.inf)
+        bestidx2_ref[:] = jnp.full_like(bestidx2_ref, _BIG_I32)
 
     d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if dtile != jnp.float32:
         d = d.astype(dtile)
     tile_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    tile_arg = jnp.min(
+    tile_lane = jnp.min(
         jnp.where(d == tile_min, lane, _BIG_I32), axis=1, keepdims=True
     )
     # second-best within the tile: mask out only the winning lane, so an
     # equal-valued duplicate lane keeps tile_min2 == tile_min (margin 0)
-    tile_min2 = jnp.min(
-        jnp.where(lane == tile_arg, jnp.asarray(jnp.inf, d.dtype), d),
-        axis=1,
-        keepdims=True,
+    masked = jnp.where(lane == tile_lane, jnp.asarray(jnp.inf, d.dtype), d)
+    tile_min2 = jnp.min(masked, axis=1, keepdims=True)
+    tile_arg2 = (
+        jnp.min(
+            jnp.where(masked == tile_min2, lane, _BIG_I32),
+            axis=1,
+            keepdims=True,
+        )
+        + j * d.shape[1]
     )
-    tile_arg = tile_arg + j * d.shape[1]
+    tile_arg = tile_lane + j * d.shape[1]
     # reduces consumed the (possibly bf16) d tile; carries stay f32
     tile_min = tile_min.astype(jnp.float32)
     tile_min2 = tile_min2.astype(jnp.float32)
@@ -368,7 +380,17 @@ def _kernel_gemm_top2(
     better = tile_min < best_ref[:]
     # the loser of the min contest is a second-best candidate
     cand2 = jnp.where(better, best_ref[:], tile_min)
-    best2_ref[:] = jnp.minimum(jnp.minimum(best2_ref[:], tile_min2), cand2)
+    cand2i = jnp.where(better, bestidx_ref[:], tile_arg)
+
+    def pick(va, ia, vb, ib):
+        # value-then-lowest-index: exactly a stable argsort's ordering
+        a_wins = (va < vb) | ((va == vb) & (ia < ib))
+        return jnp.where(a_wins, va, vb), jnp.where(a_wins, ia, ib)
+
+    v2, i2 = pick(best2_ref[:], bestidx2_ref[:], tile_min2, tile_arg2)
+    v2, i2 = pick(v2, i2, cand2, cand2i)
+    best2_ref[:] = v2
+    bestidx2_ref[:] = i2
     best_ref[:] = jnp.where(better, tile_min, best_ref[:])
     bestidx_ref[:] = jnp.where(better, tile_arg, bestidx_ref[:])
 
@@ -377,6 +399,7 @@ def _kernel_gemm_top2(
         idx_ref[:] = bestidx_ref[:]
         val_ref[:] = best_ref[:]
         val2_ref[:] = best2_ref[:]
+        idx2_ref[:] = bestidx2_ref[:]
 
 
 def _kernel_highest(
@@ -551,7 +574,7 @@ def _env_tiles():
     jax.jit,
     static_argnames=(
         "interpret", "mode", "tiles", "finish", "rescue_frac", "dtile",
-        "kblock",
+        "kblock", "top2",
     ),
 )
 def bmu_euclidean(
@@ -567,11 +590,18 @@ def bmu_euclidean(
     rescue_frac=0.125,
     dtile="f32",
     kblock=None,
+    top2=False,
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
     and ``minval`` is that partial squared distance (add ``‖x‖²`` for the
     true squared distance).
+
+    ``top2=True`` (modes 'packed'/'bf16') returns ``(idx, minval, idx2,
+    minval2)`` — the two best-matching units per sample with
+    stable-argsort ordering (value, then lowest index), the fused form
+    of the reference's ``argsort(d)[:, :2]`` in ``topographic_error``
+    (xpysom.py:731-734): the (N, XY) distance matrix never leaves VMEM.
 
     ``finish`` selects the in-kernel reduction strategy (all modes):
     ``'iota'`` (default, fastest measured), ``'argmin'`` (the variadic
@@ -623,6 +653,11 @@ def bmu_euclidean(
             "kblock (the K-blocked wide-D candidate) requires mode "
             "'packed' or 'bf16'"
         )
+    if top2:
+        if mode not in ("packed", "bf16"):
+            raise ValueError("top2=True requires mode 'packed' or 'bf16'")
+        if kblock is not None:
+            raise ValueError("top2=True does not support kblock")
     dtile_t = jnp.bfloat16 if dtile == "bf16" else jnp.float32
     if center is not None:
         x = x - center[None, :]
@@ -761,27 +796,36 @@ def bmu_euclidean(
                 **common_kb,
             )(a, w_aug)
             return idx[:n, 0], val[:n, 0]
-        if mode == "margin":
+        if mode == "margin" or top2:
             out_spec = pl.BlockSpec(
                 (tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             )
             common_m = dict(common)
-            common_m["out_specs"] = [out_spec, out_spec, out_spec]
+            common_m["out_specs"] = [out_spec, out_spec, out_spec, out_spec]
             common_m["out_shape"] = [
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             ]
             common_m["scratch_shapes"] = [
                 pltpu.VMEM((tn, 1), jnp.float32),
                 pltpu.VMEM((tn, 1), jnp.int32),
                 pltpu.VMEM((tn, 1), jnp.float32),
+                pltpu.VMEM((tn, 1), jnp.int32),
             ]
-            idx_p, val_p, val2_p = pl.pallas_call(
+            idx_p, val_p, val2_p, idx2_p = pl.pallas_call(
                 partial(_kernel_gemm_top2, dtile=dtile_t),
                 in_specs=[a_spec, waug_spec],
                 **common_m,
             )(a, w_aug)
+            if top2:
+                return (
+                    idx_p[:n, 0],
+                    val_p[:n, 0],
+                    idx2_p[:n, 0],
+                    val2_p[:n, 0],
+                )
             return _margin_rescue(
                 idx_p[:, 0], val_p[:, 0], val2_p[:, 0],
                 x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac,
