@@ -411,7 +411,14 @@ def make_topographic_stats_fn_2d(spec: SomSpec, mesh: Mesh):
     global top-2 are selected by two lexicographic (value, index) min
     passes, preserving first-index tie-breaking exactly as the
     single-device path. Adjacency semantics match
-    ``core.make_topographic_stats_fn``."""
+    ``core.make_topographic_stats_fn``.
+
+    Deliberately NOT routed through the fused top-2 kernel
+    (``bmu_euclidean(top2=True)``, round 4): per-shard fusion would need
+    a psum'd global center and would create a branch no available rig
+    can execute (a grid mesh needs >=2 real chips; the CPU virtual mesh
+    gates the kernel off) — untestable risk. The single-device /
+    1-D-mesh path, where TE throughput actually matters, is fused."""
     from ..core import grid_coordinates
 
     n_model = mesh.shape[MODEL_AXIS]
