@@ -659,3 +659,30 @@ def test_fused_top2_te_matches_fallback_on_chip(record):
     record("te_fused", round(te_fused, 6))
     record("te_fallback", round(te_fallback, 6))
     assert te_fused == pytest.approx(te_fallback, abs=2e-3)
+
+
+def test_mesh_auto_matches_single_device_on_chip(record):
+    """Fused Pallas kernels INSIDE shard_map with real Mosaic lowering:
+    all prior mesh coverage runs on the CPU virtual mesh where the
+    kernel gate is off, so `mesh='auto'` on the chip (a 1-device data
+    mesh -> shard_map + psum around the same fused programs) was never
+    exercised on hardware. Train/QE/TE through the mesh path must match
+    the single-device path on the same seed."""
+    rng = np.random.RandomState(33)
+    data = rng.rand(4096, 16).astype(np.float32)
+
+    som_s = XPySom(12, 10, 16, sigma=4.0, random_seed=4)
+    som_s.train(data, 4)
+    som_m = XPySom(12, 10, 16, sigma=4.0, random_seed=4, mesh="auto")
+    som_m.train(data, 4)
+
+    dis = int((som_s.get_weights() != som_m.get_weights()).sum())
+    record("mesh_auto_weight_elem_mismatches", dis)
+    np.testing.assert_allclose(
+        som_m.get_weights(), som_s.get_weights(), rtol=1e-4, atol=1e-5
+    )
+    qe_s, qe_m = som_s.quantization_error(data), som_m.quantization_error(data)
+    te_s, te_m = som_s.topographic_error(data), som_m.topographic_error(data)
+    record("mesh_auto_qe_delta", round(abs(qe_s - qe_m), 8))
+    assert qe_m == pytest.approx(qe_s, rel=1e-5)
+    assert te_m == pytest.approx(te_s, abs=2e-3)
