@@ -119,7 +119,7 @@ class SomSpec:
     # values and builds its spec with them, so an already-constructed
     # model can never pick up a later env change (its spec property would
     # otherwise re-resolve on every access).
-    bmu_precision: object = FROM_ENV  # packed|bf16|split3|highest|margin
+    bmu_precision: object = FROM_ENV  # packed|bf16|split2|split3|highest|margin
     bmu_tiles: object = FROM_ENV  # (TN, TJ) kernel tiles; None = table
     use_pallas: object = FROM_ENV  # False = plain-XLA BMU formulation
 
@@ -165,10 +165,12 @@ class SomSpec:
             # concrete values are validated HERE, at the config boundary,
             # not at first kernel trace (far from the mistake)
             mode = str(self.bmu_precision).lower()
-            if mode not in ("packed", "bf16", "split3", "highest", "margin"):
+            if mode not in (
+                "packed", "bf16", "split2", "split3", "highest", "margin"
+            ):
                 raise ValueError(
                     f"bmu_precision={self.bmu_precision!r} not recognized "
-                    "(packed|bf16|split3|highest|margin)"
+                    "(packed|bf16|split2|split3|highest|margin)"
                 )
             if mode == "margin" and self.distance == "norm_p":
                 raise ValueError(

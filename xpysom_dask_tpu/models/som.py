@@ -49,7 +49,7 @@ __all__ = ["XPySom"]
 
 _RECT_NEIGS = ("gaussian", "mexican_hat", "bubble", "triangle")
 _HEX_NEIGS = ("gaussian", "mexican_hat", "bubble")
-_BMU_MODES = ("packed", "bf16", "split3", "highest", "margin")
+_BMU_MODES = ("packed", "bf16", "split2", "split3", "highest", "margin")
 
 
 def _as_numpy_2d(data) -> np.ndarray:

@@ -46,14 +46,25 @@ one K≈3D+3 GEMM; measured zero argmin disagreements vs float64.
 with ``jax.lax.reduce_precision`` — the naive ``bf16(x - f32(bf16(x)))``
 is silently elided to zero under XLA's ``--xla_allow_excess_precision``.
 ``XPYSOM_BMU_PRECISION`` selects ``packed`` (default) / ``bf16`` /
-``split3`` (pre-split operands, 3 separate dots) / ``highest``
-(exact 6-pass f32). All splits happen OUTSIDE the kernels — Mosaic's
-lowering does not implement ``reduce_precision``, and the astype
+``split2`` / ``split3`` (pre-split operands, 3 separate dots) /
+``highest`` (exact 6-pass f32). All splits happen OUTSIDE the kernels —
+Mosaic's lowering does not implement ``reduce_precision``, and the astype
 round-trip spelling is elision-prone in the interpret path. split3's
 three separate f32 dot results sum in a different order than packed's
 single K-chain accumulation, so it can flip float64-near-tie BMUs
 (measured round 4: 1/16384 on a 1.6e-5 gap); ``packed`` is the
 measured-zero-flips default.
+
+``split2`` (round 5, VERDICT r4 #2) is the K=2D+3 midpoint between
+packed and bf16: ``[xh|xl] @ [wh;wh]`` = ``x·wh`` to full f32-
+accumulation accuracy (the two x splits sum back exactly), paired with
+an exact 3-term split of ``‖w_h‖²`` computed from the ROUNDED codebook.
+The result is the EXACT partial distance to the bf16-quantized codebook
+``w_h`` — a perturbed *problem* solved exactly, not the true problem
+evaluated noisily. Its winner-flip error term is
+``2(x − w_j)·(w_j − w_h,j)`` — second-order near the winner (where
+``x − w_j`` is small) vs bf16's first-order ``~2⁻⁸·Σ|x||2w|`` envelope.
+The returned ``minval`` is the distance to the rounded codebook.
 
 ``dtile`` (round 3): the kernel is bound on VMEM traffic over the
 (TN, TJ) distance tile (1 write + ~2.6 reads of 4·TN·TJ bytes);
@@ -534,14 +545,15 @@ def _env_mode(default="packed") -> str:
     every constructor call in the process — explicit kwargs, by
     contrast, raise ValueError in the XPySom constructor)."""
     m = os.environ.get("XPYSOM_BMU_PRECISION", "").lower()
-    if m in ("highest", "split3", "packed", "bf16", "margin"):
+    if m in ("highest", "split2", "split3", "packed", "bf16", "margin"):
         return m
     if m:
         import warnings
 
         warnings.warn(
             f"XPYSOM_BMU_PRECISION={m!r} not recognized "
-            f"(expected packed|split3|highest|bf16|margin); using {default!r}"
+            f"(expected packed|split2|split3|highest|bf16|margin); "
+            f"using {default!r}"
         )
     return default
 
@@ -625,10 +637,10 @@ def bmu_euclidean(
     """
     if mode is None:
         mode = "packed"  # kernel default; env resolves at spec construction
-    if mode not in ("packed", "bf16", "split3", "highest", "margin"):
+    if mode not in ("packed", "bf16", "split2", "split3", "highest", "margin"):
         raise ValueError(
             f"mode={mode!r} not recognized "
-            "(packed|bf16|split3|highest|margin)"
+            "(packed|bf16|split2|split3|highest|margin)"
         )
     if finish not in ("iota", "argmin", "minonly"):
         raise ValueError(
@@ -714,7 +726,7 @@ def bmu_euclidean(
     w_spec = pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     wsq_spec = pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
 
-    if mode in ("packed", "bf16", "margin"):
+    if mode in ("packed", "bf16", "split2", "margin"):
         # Augmented-GEMM formulation (see _kernel_gemm_argmin): the right
         # operand stacks the (bf16-split) rows of -2·wᵀ with an EXACT
         # 3-term bf16 split of ‖w‖², the left appends matching ones, so
@@ -723,16 +735,38 @@ def bmu_euclidean(
         # so padded nodes never win. 'margin' uses the bf16 single-pass
         # operands with the top-2 finish, then re-ranks ambiguous rows
         # exactly (_margin_rescue) — exact argmin near bf16 speed.
-        wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
-        s1, s2, s3 = _split3_bf16(wsq_big)
         w2t = -2.0 * wt
         ones = jnp.ones((n_pad, 3), jnp.bfloat16)
-        if mode == "packed":
+        if mode == "split2":
+            # K=2D+3 midpoint (module docstring): exact partial distance
+            # to the bf16-ROUNDED codebook. [xh|xl]@[wh;wh] = x·w_h2t with
+            # only f32 accumulation error (the x splits sum back exactly),
+            # and the ‖w‖² operand is recomputed from the ROUNDED codebook
+            # (w_h = -w2t_h/2 ⇒ ‖w_h‖² = ¼·Σ w2t_h²) so the whole distance
+            # is self-consistent in w_h — the flip error is the
+            # second-order 2(x−w)·(w−w_h), not bf16's first-order |x||w|.
+            wh, _ = _split_bf16(w2t)
+            wsq_h = 0.25 * jnp.sum(
+                jnp.square(wh.astype(jnp.float32)), axis=0, keepdims=True
+            )
+            # padded codebook columns are zero → ‖w_h‖² = 0 would WIN the
+            # argmin for any x with x·w > 0; mask them to the finite +inf
+            col = jax.lax.broadcasted_iota(jnp.int32, wsq_h.shape, 1)
+            wsq_big = jnp.where(col < xy, wsq_h, 1e38)
+            s1, s2, s3 = _split3_bf16(wsq_big)
+            xh, xl = _split_bf16(x_p)
+            a = jnp.concatenate([xh, xl, ones], axis=1)
+            w_aug = jnp.concatenate([wh, wh, s1, s2, s3], axis=0)
+        elif mode == "packed":
+            wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
+            s1, s2, s3 = _split3_bf16(wsq_big)
             xh, xl = _split_bf16(x_p)
             wh, wl = _split_bf16(w2t)
             a = jnp.concatenate([xh, xl, xh, ones], axis=1)
             w_aug = jnp.concatenate([wh, wh, wl, s1, s2, s3], axis=0)
         else:  # bf16/margin: single-pass x·w, exact ‖w‖²
+            wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
+            s1, s2, s3 = _split3_bf16(wsq_big)
             a = jnp.concatenate([x_p.astype(jnp.bfloat16), ones], axis=1)
             w_aug = jnp.concatenate(
                 [w2t.astype(jnp.bfloat16), s1, s2, s3], axis=0
