@@ -399,3 +399,50 @@ def test_bmu_split2_beats_bf16_on_offset_near_ties():
     assert f_split2 < f_bf16 / 2, (f_split2, f_bf16)
     c = jnp.mean(jnp.asarray(w), axis=0)
     assert flips("split2", center=c) <= 8  # <0.7% on an adversarial fixture
+
+
+def test_bmu_split2_shadow_coincidence_ties_first_index():
+    """The verified round-5 failure mechanism (BASELINE.md): two codebook
+    rows whose bf16 shadows coincide are EXACT ties under split2 (its
+    self-consistent ‖w_h‖² is what makes them tie — bf16 mode's exact
+    norm term keeps them distinct), and the deterministic first-index
+    tie-break then always elects the earlier row. During training this
+    starves the later node permanently (measured 64→14-winner collapse
+    on low-D clustered data) — why split2 warns at input_len < 32."""
+    import jax
+
+    # two rows that differ by less than one bf16 ulp of their magnitude
+    base = np.full((8,), 1.0, np.float32)
+    w = np.stack([base, base + 1e-5, base * 1.5]).astype(np.float32)
+    w2t_h = jax.lax.reduce_precision(
+        jnp.asarray(-2.0 * w.T), exponent_bits=8, mantissa_bits=7
+    )
+    assert np.array_equal(np.asarray(w2t_h)[:, 0], np.asarray(w2t_h)[:, 1])
+
+    # rows of x nearer the SECOND copy: exact math elects index 1,
+    # split2's coincident shadows tie and first-index elects 0
+    x = np.tile(base + 1e-5, (16, 1)).astype(np.float32)
+    d64 = ((x[:, None].astype(np.float64) - w[None].astype(np.float64)) ** 2).sum(-1)
+    assert (d64.argmin(1) == 1).all()
+    idx, _ = pl_bmu.bmu_euclidean(
+        jnp.asarray(x), jnp.asarray(w), interpret=True, mode="split2"
+    )
+    assert (np.asarray(idx) == 0).all()
+
+
+def test_split2_low_d_constructor_warns():
+    """split2 at input_len < 32 warns about the shadow-starvation
+    collapse (XPySom constructor); wide D stays silent."""
+    import warnings
+    from xpysom_dask_tpu import XPySom
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        XPySom(4, 4, 4, bmu_precision="split2")
+    assert any("shadow" in str(r.message) for r in rec), [
+        str(r.message) for r in rec
+    ]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        XPySom(4, 4, 64, bmu_precision="split2")
+    assert not any("shadow" in str(r.message) for r in rec)

@@ -235,6 +235,22 @@ class XPySom:
         self._bmu_precision = cfg.bmu_precision
         self._bmu_tiles = cfg.bmu_tiles  # (TN, TJ) or None = measured defaults
         self._use_pallas = cfg.use_pallas
+        if self._bmu_precision == "split2" and input_len < 32:
+            # Verified failure mode (round 5, BASELINE.md): split2's
+            # self-consistent ‖w_h‖² means nodes whose bf16 shadows
+            # coincide tie EXACTLY, and the deterministic first-index
+            # tie-break then starves the later nodes for the rest of
+            # training — a measured 64→14-winner map collapse on low-D
+            # clustered data. The tie-basin shrinks as ~2⁻⁸ᴰ; at the
+            # widths where split2 actually wins (D≥128: 1.41× packed at
+            # D=512) coincidence is impossible in practice, and at low D
+            # packed is speed-parity anyway.
+            warn(
+                f"bmu_precision='split2' with input_len={input_len} < 32: "
+                "coincident bf16 codebook shadows can starve nodes during "
+                "training (map collapse; BASELINE.md round 5). split2 only "
+                "outruns 'packed' at wide D — prefer 'packed' here."
+            )
 
         # The fused-kernel chunk default (16384) is only safe on paths
         # that never materialize the (chunk, XY) distance matrix — ask the
