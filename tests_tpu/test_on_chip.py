@@ -686,3 +686,57 @@ def test_mesh_auto_matches_single_device_on_chip(record):
     record("mesh_auto_qe_delta", round(abs(qe_s - qe_m), 8))
     assert qe_m == pytest.approx(qe_s, rel=1e-5)
     assert te_m == pytest.approx(te_s, abs=2e-3)
+
+
+def test_degenerate_grid_mesh_lowers_fused_kernels_on_chip(record):
+    """Round 5 (VERDICT r4 #4): the 2-D (data, model) grid-mesh programs
+    had never been lowered by the real Mosaic compiler — every CPU
+    grid-mesh test runs with the kernel gate off. A single chip can form
+    a degenerate (data=1, model=1) grid mesh, which still traces the
+    full sharded program (shard_map + axis_index + psum/pmin collectives
+    + fused kernels per shard, including round 5's fused top-2 TE
+    branch) through Mosaic. Train/QE/TE must match the unsharded path."""
+    from xpysom_dask_tpu.parallel.grid_sharded import make_grid_mesh
+
+    rng = np.random.RandomState(44)
+    data = rng.rand(4096, 16).astype(np.float32)
+
+    som_s = XPySom(12, 10, 16, sigma=4.0, random_seed=7)
+    som_s.train(data, 4)
+    mesh = make_grid_mesh(1, 1)
+    som_g = XPySom(12, 10, 16, sigma=4.0, random_seed=7, mesh=mesh)
+    som_g.train(data, 4)
+
+    dis = int((som_s.get_weights() != som_g.get_weights()).sum())
+    record("grid11_weight_elem_mismatches", dis)
+    np.testing.assert_allclose(
+        som_g.get_weights(), som_s.get_weights(), rtol=1e-4, atol=1e-5
+    )
+    qe_s, qe_g = som_s.quantization_error(data), som_g.quantization_error(data)
+    te_s, te_g = som_s.topographic_error(data), som_g.topographic_error(data)
+    record("grid11_qe_delta", round(abs(qe_s - qe_g), 8))
+    record("grid11_te_fused_grid", round(te_g, 6))
+    assert qe_g == pytest.approx(qe_s, rel=1e-5)
+    assert te_g == pytest.approx(te_s, abs=2e-3)
+
+
+def test_population_fused_strategy_on_chip(record):
+    """Round 5 (VERDICT r4 #1): the 'fused' population program — lax.map
+    over stacked member codebooks with the fused single-model stats body
+    (Pallas kernel inside lax.map inside fori_loop) — lowered by the
+    real compiler, and QE-equivalent to 'serial' (same math, different
+    program: MIGRATION delta 7)."""
+    from xpysom_dask_tpu import SomPopulation
+
+    rng = np.random.RandomState(55)
+    data = rng.rand(8192, 16).astype(np.float32)
+    kw = dict(sigma=[1.5, 2.0, 2.5], random_seed=3)
+    a = SomPopulation(3, 10, 10, 16, **kw)
+    a.train(data, 3, strategy="serial")
+    b = SomPopulation(3, 10, 10, 16, **kw)
+    b.train(data, 3, strategy="fused")
+    qa = np.asarray(a.quantization_errors(data))
+    qb = np.asarray(b.quantization_errors(data))
+    record("pop_fused_vs_serial_qe_max_rel_delta",
+           round(float(np.max(np.abs(qa - qb) / qa)), 8))
+    np.testing.assert_allclose(qb, qa, rtol=0.05)

@@ -7,7 +7,7 @@ with the lowest quantization error (Kohonen's recommended practice) — runs
 serially in the reference, once per candidate
 (``/root/reference/xpysom_dask/xpysom.py:458-594`` per candidate).
 
-Two execution strategies, selected by ``train(strategy=...)``:
+Three execution strategies, selected by ``train(strategy=...)``:
 
 - ``'serial'`` (the ``'auto'`` choice for resident data): each member
   trains through the single-model fast path — the fused Pallas BMU
@@ -15,6 +15,13 @@ Two execution strategies, selected by ``train(strategy=...)``:
   ``core.make_train_fn`` executable per distinct schedule (a seed-only
   sweep compiles ONCE and reuses the executable for every member; the
   chunked data stays device-resident across members).
+
+- ``'fused'`` (round 5, the ``'auto'`` choice for streaming sources):
+  ``lax.map`` over the stacked ``(P, XY, D)`` codebooks with the fused
+  single-model stats body inside — per-member fused Pallas kernels
+  like 'serial', but the whole population fold is ONE executable and
+  ONE dispatch per superbatch like 'batched', and a streaming source
+  is read ONCE per epoch regardless of P.
 
 - ``'batched'``: stack the P codebooks into ONE ``(P·XY, D)`` matrix so
   the BMU search of every member is a single concatenated GEMM per data
@@ -30,10 +37,11 @@ measurement FALSIFIED that at sweep-sized maps (BASELINE.md round 4:
 0.60–0.75× of serial at 24×24×16, P ∈ {4, 16, 64}, v5e): the block
 argmin forces the batched path off the fused Pallas BMU kernel, and the
 unfused GEMM + reshape-argmin + vmapped scatters cost more than the
-batching saves. The batched program is kept for what it uniquely
-provides: ONE dispatch for the entire sweep (vs P per segment), and the
-streaming path's single pass over an out-of-core source folding every
-member's statistics at once.
+batching saves. Round 5 closed the gap that kept it the streaming
+default anyway (a single pass serving every member): 'fused' makes the
+per-member fused program single-pass/single-dispatch too, and measured
+faster than 'batched' on-chip (BASELINE.md round 5), so 'batched'
+remains as the measurement baseline and the wide-map fallback.
 
 Per-member knobs: ``random_seed``, ``sigma``, ``sigmaN``,
 ``learning_rate``, ``learning_rateN`` (scalar = shared, length-P sequence =
@@ -68,7 +76,7 @@ from ..core import SomSpec, chunk_data
 from ..ops.decays import DECAY_REGISTRY
 from ..ops.distances import DistanceFunction, euclidean_squared_distance_part
 from ..parallel.mesh import data_sharding, replicated_sharding, resolve_mesh
-from ..utils.hw import default_n_parallel, round_up
+from ..utils.hw import default_n_parallel, training_chunk
 from ..utils.progress import ProgressReporter
 from .som import XPySom, _as_numpy_2d
 
@@ -158,6 +166,49 @@ def _make_pop_stats(specs, psum_axis=None):
     return stats
 
 
+def _make_pop_stats_fused(specs, psum_axis=None):
+    """The round-5 third program (VERDICT r4 #1): per-member sufficient
+    statistics via ``lax.map`` over the stacked codebooks with the
+    single-model FUSED stats body inside — each member's BMU search runs
+    the fused Pallas kernel (VMEM running-argmin, no (chunk, XY) matrix),
+    yet the whole population fold is ONE dispatch per superbatch like the
+    concatenated program. This combines 'serial''s measured compute win
+    (the concatenated GEMM + block argmin was 0.60–0.75× of fused
+    per-member, BASELINE.md round 4) with 'batched''s dispatch economy —
+    and unlike host-side 'serial', it serves streaming sources with a
+    single pass over the data."""
+    spec0 = specs[0]
+    n_pop = len(specs)
+    xy = spec0.xy
+    d_dim = spec0.input_len
+    dist = spec0.distance_fn()
+    # scatter-formulation env hooks resolved eagerly at build time, like
+    # core.make_epoch_step — the traced program never reads env
+    mosaic = core._use_mosaic_scatter(spec0, xy, d_dim)
+    split = not mosaic and core._use_split_scatter(d_dim)
+
+    def stats(w, data, mask):
+        def member(w_i):
+            w_flat = w_i.reshape(xy, d_dim)
+            w_sq = (
+                jnp.sum(jnp.square(w_flat), axis=1, keepdims=True)
+                if dist.can_cache
+                else None
+            )
+            return core._accumulate_stats(
+                dist, w_flat, w_sq, data, mask, xy, spec0,
+                mosaic_scatter=mosaic, split_scatter=split,
+            )
+
+        s, cnt = jax.lax.map(member, w.reshape(n_pop, xy, d_dim))
+        if psum_axis is not None:
+            s = jax.lax.psum(s, psum_axis)
+            cnt = jax.lax.psum(cnt, psum_axis)
+        return s, cnt
+
+    return stats
+
+
 def _pop_update(specs, num_epochs: int):
     """Pure finalize half: ``update(w, s, cnt, t) -> w'`` — per-member
     traced decays + vmapped neighborhood update."""
@@ -173,10 +224,13 @@ def _pop_update(specs, num_epochs: int):
     return update
 
 
-def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
+def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None, stats_impl="concat"):
     """Pure epoch step over the stacked population codebook:
-    ``step(w, data, mask, t) -> w'`` with ``w`` of shape ``(P, XY, D)``."""
-    stats = _make_pop_stats(specs, psum_axis)
+    ``step(w, data, mask, t) -> w'`` with ``w`` of shape ``(P, XY, D)``.
+    ``stats_impl``: 'concat' = the concatenated-codebook GEMM program,
+    'fused' = ``lax.map`` over members with the fused single-model body."""
+    builder = _make_pop_stats_fused if stats_impl == "fused" else _make_pop_stats
+    stats = builder(specs, psum_axis)
     update = _pop_update(specs, num_epochs)
 
     def step(w, data, mask, t):
@@ -187,12 +241,16 @@ def _make_pop_epoch_step(specs, num_epochs: int, psum_axis=None):
 
 
 @lru_cache(maxsize=32)
-def make_population_stats_fn(specs, mesh: Optional[Mesh] = None):
+def make_population_stats_fn(
+    specs, mesh: Optional[Mesh] = None, stats_impl: str = "concat"
+):
     """Compile the accumulate-only half of a population epoch (used by the
     streaming path to fold superbatches, mirroring ``core.make_stats_fn``);
     with a mesh the shard partials are psum-reduced so the result is
-    replicated."""
-    stats = _make_pop_stats(specs, psum_axis="data" if mesh is not None else None)
+    replicated. ``stats_impl='fused'`` selects the lax.map-over-members
+    fused program (``_make_pop_stats_fused``)."""
+    builder = _make_pop_stats_fused if stats_impl == "fused" else _make_pop_stats
+    stats = builder(specs, psum_axis="data" if mesh is not None else None)
     if mesh is None:
         return jax.jit(stats)
     sharded = jax.shard_map(
@@ -213,11 +271,18 @@ def make_population_update_fn(specs, num_epochs: int):
 
 
 @lru_cache(maxsize=32)
-def make_population_epoch_fn(specs, num_epochs: int, mesh: Optional[Mesh] = None):
+def make_population_epoch_fn(
+    specs, num_epochs: int, mesh: Optional[Mesh] = None, stats_impl: str = "concat"
+):
     """Compile one population epoch: ``epoch(w, data, mask, t) -> w'``."""
     if mesh is None:
-        return jax.jit(_make_pop_epoch_step(specs, num_epochs), donate_argnums=(0,))
-    step = _make_pop_epoch_step(specs, num_epochs, psum_axis="data")
+        return jax.jit(
+            _make_pop_epoch_step(specs, num_epochs, stats_impl=stats_impl),
+            donate_argnums=(0,),
+        )
+    step = _make_pop_epoch_step(
+        specs, num_epochs, psum_axis="data", stats_impl=stats_impl
+    )
     sharded = jax.shard_map(
         step,
         mesh=mesh,
@@ -229,12 +294,16 @@ def make_population_epoch_fn(specs, num_epochs: int, mesh: Optional[Mesh] = None
 
 
 @lru_cache(maxsize=32)
-def make_population_train_fn(specs, num_epochs: int, mesh: Optional[Mesh] = None):
+def make_population_train_fn(
+    specs, num_epochs: int, mesh: Optional[Mesh] = None, stats_impl: str = "concat"
+):
     """Compile a whole population sweep:
     ``train(w, data, mask, iter_beg, iter_end) -> w'`` — every member, every
     epoch, one executable (mirrors ``core.make_train_fn``)."""
     psum_axis = "data" if mesh is not None else None
-    step = _make_pop_epoch_step(specs, num_epochs, psum_axis=psum_axis)
+    step = _make_pop_epoch_step(
+        specs, num_epochs, psum_axis=psum_axis, stats_impl=stats_impl
+    )
 
     def run(w, data, mask, iter_beg, iter_end):
         def body(t, w):
@@ -438,7 +507,11 @@ class SomPopulation:
         from ..parallel.mesh import put_with_sharding
 
         n = data2d.shape[0]
-        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
+        # shared training-branch sizing (utils.hw.training_chunk): the
+        # 1024 sample-tile floor matters for strategy='fused' (Pallas
+        # kernel inside lax.map — unaligned chunks blow compile time) and
+        # is harmless for 'batched' (stays under the n_parallel budget)
+        chunk = training_chunk(n, self._n_parallel)
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
         if self._mesh is not None:
@@ -487,13 +560,19 @@ class SomPopulation:
           chunked data stays on device across members). Measured
           1.3–1.7× faster per epoch than ``'batched'`` on v5e at
           sweep-sized maps. Not available for streaming sources.
-        - ``'batched'``: the concatenated-codebook program — the whole
-          sweep is ONE executable and ONE dispatch per checkpoint
-          segment. Use when dispatch latency dominates (many tiny
-          epochs) and always for streaming sources (one pass over the
-          data folds every member's statistics).
+        - ``'fused'`` (round 5): ``lax.map`` over the stacked member
+          codebooks with the fused single-model stats body inside —
+          serial's per-member fused kernels AND batched's
+          one-executable/one-dispatch property, and a single pass over
+          streaming sources. The measured streaming winner
+          (BASELINE.md round 5).
+        - ``'batched'``: the concatenated-codebook program (one GEMM
+          covers every member's search). Measured 0.60–0.75× of the
+          fused programs at sweep-sized maps — kept as the measurement
+          baseline and for wide-map cases where a per-member kernel
+          pass underfills the MXU.
         - ``'auto'`` (default): ``'serial'`` for resident data,
-          ``'batched'`` for streaming sources.
+          ``'fused'`` for streaming sources.
 
         Either strategy trains the same math per member; programs differ,
         so compare across strategies by quantization error, not bitwise
@@ -517,10 +596,10 @@ class SomPopulation:
             raise ValueError(
                 f"checkpoint_every={checkpoint_every} must be >= 0"
             )
-        if strategy not in ("auto", "batched", "serial"):
+        if strategy not in ("auto", "batched", "serial", "fused"):
             raise ValueError(
-                f"strategy={strategy!r} must be 'auto', 'batched' or "
-                "'serial'"
+                f"strategy={strategy!r} must be 'auto', 'batched', "
+                "'serial' or 'fused'"
             )
         if iter_end is None:
             iter_end = num_epochs
@@ -529,12 +608,16 @@ class SomPopulation:
                 raise ValueError(
                     "strategy='serial' would re-read the dataset once per "
                     "member; streaming sources make a single pass that "
-                    "serves every member — use strategy='auto' or "
-                    "'batched' for source-like data"
+                    "serves every member — use strategy='auto' (or "
+                    "'fused': serial's per-member fused kernels in one "
+                    "pass) for source-like data"
                 )
             return self._train_streaming(
                 data, num_epochs, iter_beg, iter_end, verbose,
                 checkpoint_path, checkpoint_every,
+                # measured winner for the streaming fold (round 5,
+                # BASELINE.md): the lax.map-over-members fused program
+                stats_impl="concat" if strategy == "batched" else "fused",
             )
         data2d = _as_numpy_2d(data)
         if data2d.shape[1] != self._input_len:
@@ -542,7 +625,7 @@ class SomPopulation:
                 "Received %d features, expected %d."
                 % (data2d.shape[1], self._input_len)
             )
-        if strategy != "batched":
+        if strategy in ("auto", "serial"):
             self._train_serial(
                 data2d, num_epochs, iter_beg, iter_end, verbose,
                 checkpoint_path, checkpoint_every,
@@ -553,13 +636,16 @@ class SomPopulation:
                     self.quantization_errors(data2d),
                 )
             return self
+        stats_impl = "fused" if strategy == "fused" else "concat"
         chunks, mask, n = self._chunked(data2d)
         w = self._stacked_device_weights()
         specs = self._specs()
         ckpt = bool(checkpoint_every and checkpoint_path)
 
         if verbose:
-            epoch_fn = make_population_epoch_fn(specs, num_epochs, self._mesh)
+            epoch_fn = make_population_epoch_fn(
+                specs, num_epochs, self._mesh, stats_impl
+            )
             reporter = ProgressReporter(num_epochs * n)
             reporter.start()
             for t in range(iter_beg, iter_end):
@@ -574,7 +660,9 @@ class SomPopulation:
         else:
             # whole sweep in one executable per checkpoint segment (data
             # and codebooks stay on device across segments)
-            train_fn = make_population_train_fn(specs, num_epochs, self._mesh)
+            train_fn = make_population_train_fn(
+                specs, num_epochs, self._mesh, stats_impl
+            )
             seg = checkpoint_every if ckpt else (iter_end - iter_beg)
             for seg_beg in range(iter_beg, iter_end, max(seg, 1)):
                 seg_end = min(seg_beg + seg, iter_end)
@@ -612,9 +700,10 @@ class SomPopulation:
         from ..parallel.mesh import put_with_sharding
 
         n = data2d.shape[0]
-        chunk = min(self._n_parallel, round_up(max(n, 1), 8))
-        if chunk > 1024:
-            chunk = max(1024, (chunk // 1024) * 1024)
+        # THE shared training-branch sizing (utils.hw.training_chunk) —
+        # the 'bit-identical to individual training' guarantee depends on
+        # this matching XPySom._chunked exactly (advisor, round 4)
+        chunk = training_chunk(n, self._n_parallel)
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
         if self._mesh is not None:
@@ -676,13 +765,18 @@ class SomPopulation:
         verbose,
         checkpoint_path,
         checkpoint_every,
+        stats_impl="fused",
     ):
         """Out-of-core sweep: per epoch, fold per-member sufficient
         statistics over streamed superbatches then apply one vmapped
         update — the population analog of
         ``parallel.pipeline.train_streaming``, sharing its fold loop
         (and thus the multi-host superbatch synchronization) via
-        ``stats_streaming(stats_fn=...)``."""
+        ``stats_streaming(stats_fn=...)``. ``stats_impl`` picks the
+        per-superbatch program: 'fused' (default — lax.map over members
+        with the fused single-model body; one pass, one dispatch per
+        superbatch, the measured winner) or 'concat' (the concatenated-
+        codebook GEMM)."""
         from ..parallel.pipeline import (
             ArraySource,
             default_superbatch_rows,
@@ -698,7 +792,7 @@ class SomPopulation:
         superbatch_rows = default_superbatch_rows(self._input_len)
         specs = self._specs()
         spec0 = specs[0]
-        stats_fn = make_population_stats_fn(specs, self._mesh)
+        stats_fn = make_population_stats_fn(specs, self._mesh, stats_impl)
         update_fn = make_population_update_fn(specs, num_epochs)
         w = self._stacked_device_weights()
 

@@ -42,7 +42,7 @@ from ..parallel.mesh import (
     resolve_mesh,
 )
 from ..utils.envflags import env_flag
-from ..utils.hw import default_n_parallel, round_up
+from ..utils.hw import default_n_parallel, round_up, training_chunk
 from ..utils.progress import ProgressReporter
 
 __all__ = ["XPySom"]
@@ -362,9 +362,7 @@ class XPySom:
             c = max(1, -(-n // chunk))
             min_chunks = 1 << (c - 1).bit_length()  # next power of two
         else:
-            chunk = min(chunk or self._n_parallel, round_up(max(n, 1), 8))
-            if chunk > 1024:
-                chunk = max(1024, (chunk // 1024) * 1024)
+            chunk = training_chunk(n, chunk or self._n_parallel)
         chunks, mask, _ = chunk_data(
             data2d, chunk, multiple_of=self._n_shards(), min_chunks=min_chunks
         )

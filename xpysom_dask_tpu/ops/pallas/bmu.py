@@ -330,29 +330,32 @@ def _kernel_gemm_argmin_kb(
 def _kernel_gemm_top2(
     a_ref,
     w_ref,
-    idx_ref,
-    val_ref,
-    val2_ref,
-    idx2_ref,
-    best_ref,
-    bestidx_ref,
-    best2_ref,
-    bestidx2_ref,
-    *,
+    *refs,
     dtile=jnp.float32,
+    want_idx2=True,
 ):
     """Augmented-GEMM kernel (one MXU pass over whatever operand packing
     the caller prepared — bf16 single-pass for ``mode='margin'``, the
     exact packed split for ``top2=True``) whose finish carries the
-    second-best distance AND its index. The margin ``val2 − val`` gates
-    the exact re-rank in ``mode='margin'``; ``idx2`` is what
-    ``topographic_error``'s top-2 BMU search consumes (top2=True in
-    bmu_euclidean). Top-2 merge across tiles: ``m2' = min(m2, t2,
-    max(m1, t1))`` with value-then-lowest-index ordering, so the result
-    matches a stable argsort's first two columns; within a tile the
-    second-best excludes the first winning LANE (not the winning
-    value), so a duplicate minimum IS the second-best (margin 0, always
-    re-ranked; idx2 = the duplicate's index, as argsort gives)."""
+    second-best distance — and, with ``want_idx2=True``, its index. The
+    margin ``val2 − val`` gates the exact re-rank in ``mode='margin'``;
+    ``idx2`` is what ``topographic_error``'s top-2 BMU search consumes
+    (top2=True in bmu_euclidean). ``want_idx2=False`` (the margin path —
+    ``_margin_rescue`` discards idx2) drops the bestidx2 VMEM carry, its
+    output, and the index halves of the two pick chains (advisor, round
+    4: margin's training hot path should not pay for top2's index).
+    Top-2 merge across tiles: ``m2' = min(m2, t2, max(m1, t1))`` with
+    value-then-lowest-index ordering, so the result matches a stable
+    argsort's first two columns; within a tile the second-best excludes
+    the first winning LANE (not the winning value), so a duplicate
+    minimum IS the second-best (margin 0, always re-ranked; idx2 = the
+    duplicate's index, as argsort gives)."""
+    if want_idx2:
+        (idx_ref, val_ref, val2_ref, idx2_ref,
+         best_ref, bestidx_ref, best2_ref, bestidx2_ref) = refs
+    else:
+        idx_ref, val_ref, val2_ref, best_ref, bestidx_ref, best2_ref = refs
+        idx2_ref = bestidx2_ref = None
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -361,7 +364,8 @@ def _kernel_gemm_top2(
         best_ref[:] = jnp.full_like(best_ref, jnp.inf)
         bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
         best2_ref[:] = jnp.full_like(best2_ref, jnp.inf)
-        bestidx2_ref[:] = jnp.full_like(bestidx2_ref, _BIG_I32)
+        if want_idx2:
+            bestidx2_ref[:] = jnp.full_like(bestidx2_ref, _BIG_I32)
 
     d = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if dtile != jnp.float32:
@@ -375,14 +379,6 @@ def _kernel_gemm_top2(
     # equal-valued duplicate lane keeps tile_min2 == tile_min (margin 0)
     masked = jnp.where(lane == tile_lane, jnp.asarray(jnp.inf, d.dtype), d)
     tile_min2 = jnp.min(masked, axis=1, keepdims=True)
-    tile_arg2 = (
-        jnp.min(
-            jnp.where(masked == tile_min2, lane, _BIG_I32),
-            axis=1,
-            keepdims=True,
-        )
-        + j * d.shape[1]
-    )
     tile_arg = tile_lane + j * d.shape[1]
     # reduces consumed the (possibly bf16) d tile; carries stay f32
     tile_min = tile_min.astype(jnp.float32)
@@ -391,17 +387,32 @@ def _kernel_gemm_top2(
     better = tile_min < best_ref[:]
     # the loser of the min contest is a second-best candidate
     cand2 = jnp.where(better, best_ref[:], tile_min)
-    cand2i = jnp.where(better, bestidx_ref[:], tile_arg)
 
-    def pick(va, ia, vb, ib):
-        # value-then-lowest-index: exactly a stable argsort's ordering
-        a_wins = (va < vb) | ((va == vb) & (ia < ib))
-        return jnp.where(a_wins, va, vb), jnp.where(a_wins, ia, ib)
+    if want_idx2:
+        tile_arg2 = (
+            jnp.min(
+                jnp.where(masked == tile_min2, lane, _BIG_I32),
+                axis=1,
+                keepdims=True,
+            )
+            + j * d.shape[1]
+        )
+        cand2i = jnp.where(better, bestidx_ref[:], tile_arg)
 
-    v2, i2 = pick(best2_ref[:], bestidx2_ref[:], tile_min2, tile_arg2)
-    v2, i2 = pick(v2, i2, cand2, cand2i)
-    best2_ref[:] = v2
-    bestidx2_ref[:] = i2
+        def pick(va, ia, vb, ib):
+            # value-then-lowest-index: exactly a stable argsort's ordering
+            a_wins = (va < vb) | ((va == vb) & (ia < ib))
+            return jnp.where(a_wins, va, vb), jnp.where(a_wins, ia, ib)
+
+        v2, i2 = pick(best2_ref[:], bestidx2_ref[:], tile_min2, tile_arg2)
+        v2, i2 = pick(v2, i2, cand2, cand2i)
+        best2_ref[:] = v2
+        bestidx2_ref[:] = i2
+    else:
+        # margin only needs the second-best VALUE: a plain 3-way min
+        best2_ref[:] = jnp.minimum(
+            best2_ref[:], jnp.minimum(tile_min2, cand2)
+        )
     best_ref[:] = jnp.where(better, tile_min, best_ref[:])
     bestidx_ref[:] = jnp.where(better, tile_arg, bestidx_ref[:])
 
@@ -410,7 +421,8 @@ def _kernel_gemm_top2(
         idx_ref[:] = bestidx_ref[:]
         val_ref[:] = best_ref[:]
         val2_ref[:] = best2_ref[:]
-        idx2_ref[:] = bestidx2_ref[:]
+        if want_idx2:
+            idx2_ref[:] = bestidx2_ref[:]
 
 
 def _kernel_highest(
@@ -835,31 +847,31 @@ def bmu_euclidean(
                 (tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             )
             common_m = dict(common)
-            common_m["out_specs"] = [out_spec, out_spec, out_spec, out_spec]
+            common_m["out_specs"] = [out_spec] * (4 if top2 else 3)
             common_m["out_shape"] = [
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                 jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            ]
+            ] + ([jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)] if top2 else [])
             common_m["scratch_shapes"] = [
                 pltpu.VMEM((tn, 1), jnp.float32),
                 pltpu.VMEM((tn, 1), jnp.int32),
                 pltpu.VMEM((tn, 1), jnp.float32),
-                pltpu.VMEM((tn, 1), jnp.int32),
-            ]
-            idx_p, val_p, val2_p, idx2_p = pl.pallas_call(
-                partial(_kernel_gemm_top2, dtile=dtile_t),
+            ] + ([pltpu.VMEM((tn, 1), jnp.int32)] if top2 else [])
+            outs = pl.pallas_call(
+                partial(_kernel_gemm_top2, dtile=dtile_t, want_idx2=top2),
                 in_specs=[a_spec, waug_spec],
                 **common_m,
             )(a, w_aug)
             if top2:
+                idx_p, val_p, val2_p, idx2_p = outs
                 return (
                     idx_p[:n, 0],
                     val_p[:n, 0],
                     idx2_p[:n, 0],
                     val2_p[:n, 0],
                 )
+            idx_p, val_p, val2_p = outs
             return _margin_rescue(
                 idx_p[:, 0], val_p[:, 0], val2_p[:, 0],
                 x_p, w_flat, w_sq, w2t, n, tiles, interpret, rescue_frac,

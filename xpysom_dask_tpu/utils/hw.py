@@ -44,6 +44,22 @@ def round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
+def training_chunk(n: int, n_parallel: int) -> int:
+    """THE training-branch chunk size: budget cap, shrunk to the data,
+    floored to the fused kernel's 1024 sample tile when above one tile
+    (unaligned chunks force an in-graph pad per scan step — measured to
+    blow Mosaic/XLA compile time from ~1.5 s to >100 s on some shapes).
+    Rounds DOWN so ``n_parallel`` (a memory budget, reference
+    xpysom.py:131-137) is never exceeded. Shared by ``XPySom._chunked``
+    and ``SomPopulation._train_serial`` so the serial sweep's
+    'bit-identical to training each member individually' guarantee can
+    never drift (advisor, round 4)."""
+    chunk = min(n_parallel, round_up(max(n, 1), 8))
+    if chunk > 1024:
+        chunk = max(1024, (chunk // 1024) * 1024)
+    return chunk
+
+
 def default_n_parallel(
     xy: int, backend: str | None = None, fused: bool = False
 ) -> int:
