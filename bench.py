@@ -42,6 +42,16 @@ NORTH_STAR_SAMPLES_PER_SEC_PER_CHIP = 1e8 / 64 / 60  # BASELINE.json north star
 METRIC = "som_batch_step_samples_per_sec_per_chip"
 UNIT = "samples/s/chip"
 
+# Second BASELINE.json metric (round 5, VERDICT r4 #6): BMU argmin
+# throughput at the flagship search shape (16384 samples vs the 128×128
+# codebook, D=64, packed mode). The reference publishes no number, so the
+# anchor is this repo's first clean on-chip capture (round 3, BASELINE.md:
+# 13.2 M searches/s at full fp32-equivalent fidelity) — the ratio tracks
+# drift across rounds.
+BMU_METRIC = "bmu_argmin_searches_per_sec"
+BMU_UNIT = "searches/s"
+BMU_BASELINE_SEARCHES_PER_SEC = 13.2e6
+
 
 def _emit_error(msg):
     """Structured failure line (round-4, VERDICT r3 weak #2): when the
@@ -198,6 +208,91 @@ def main():
         f"(dispatch-inclusive {direct:,.0f}; checksum {checksum:.1f})",
         file=sys.stderr,
     )
+
+    # ---- metric 2: BMU argmin throughput (emitted BEFORE the headline
+    # training metric — the driver reads the LAST line as the headline).
+    # Method: r3_measure's inner-batched two-depth slope (a lax.scan runs
+    # the kernel `inner` times per dispatch, iterations chained by a
+    # ±1e-30 perturbation so XLA cannot hoist; the dispatch constant
+    # cancels in the slope). Consumes idx only — the training-path
+    # contract.
+    try:
+        from xpysom_dask_tpu.ops.pallas.bmu import bmu_euclidean
+
+        sn = int(os.environ.get("XSOM_BENCH_SEARCH_N", 16384))
+        sx = jnp.asarray(rng.rand(sn, d).astype(np.float32))
+        w_flat = w.reshape(x * y, d)  # the just-trained codebook
+        interp = jax.default_backend() != "tpu"  # CPU smoke only
+
+        def scanned(inner):
+            @jax.jit
+            def run(xv, wv):
+                def body(c, _):
+                    idx, _ = bmu_euclidean(
+                        xv * (1.0 + c), wv, interpret=interp
+                    )
+                    z = jnp.sum(idx.astype(jnp.float32))
+                    return jnp.float32(1e-30) * jnp.tanh(z), None
+
+                c, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=inner
+                )
+                return c
+
+            return run
+
+        inner_lo, inner_hi = 8, 40
+        if os.environ.get("XSOM_BENCH_SEARCH_INNER"):
+            inner_hi = int(os.environ["XSOM_BENCH_SEARCH_INNER"])
+            inner_lo = max(1, inner_hi // 5)
+        med = {}
+        for inner in (inner_lo, inner_hi):
+            fn = scanned(inner)
+            float(fn(sx, w_flat))  # warmup/compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(sx, w_flat))
+                ts.append(time.perf_counter() - t0)
+            med[inner] = min(ts)
+        per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)
+        searches_per_sec = sn / per_exec if per_exec > 0 else None
+        print(
+            f"BMU search: {sn}x{x * y}x{d} per_exec={per_exec * 1e3:.3f} ms "
+            f"-> {searches_per_sec:,.0f} searches/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": BMU_METRIC,
+                    "value": round(searches_per_sec, 1)
+                    if searches_per_sec
+                    else None,
+                    "unit": BMU_UNIT,
+                    "vs_baseline": round(
+                        searches_per_sec / BMU_BASELINE_SEARCHES_PER_SEC, 3
+                    )
+                    if searches_per_sec
+                    else None,
+                }
+            )
+        )
+    except Exception as e:  # metric 2 must never cost us the headline
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": BMU_METRIC,
+                    "value": None,
+                    "unit": BMU_UNIT,
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            )
+        )
 
     print(
         json.dumps(
