@@ -222,8 +222,11 @@ def test_pallas_bmu_kind_gating(monkeypatch):
     assert kind(DistanceFunction("euclidean"), core._PALLAS_MAX_D + 1) is None
     assert kind(DistanceFunction("manhattan"), 512) is None
     assert kind(DistanceFunction("norm_p", {"p": 4}), 512) is None  # D(p+1)
-    # odd p and no_opt names stay on XLA
-    assert kind(DistanceFunction("norm_p", {"p": 3}), 16) is None
+    # odd integer p rides the elementwise kernel (round 5, L1 D gate);
+    # fractional p and no_opt names stay on XLA
+    assert kind(DistanceFunction("norm_p", {"p": 3}), 16) == "norm_p_odd"
+    assert kind(DistanceFunction("norm_p", {"p": 3}), 512) is None
+    assert kind(DistanceFunction("norm_p", {"p": 2.5}), 16) is None
     assert kind(DistanceFunction("euclidean_no_opt"), 16) is None
     # kill switch: resolved at SPEC CONSTRUCTION (the one env boundary,
     # SomSpec.__post_init__), threaded into the gate as use_pallas=False —
@@ -446,3 +449,58 @@ def test_split2_low_d_constructor_warns():
         warnings.simplefilter("always")
         XPySom(4, 4, 64, bmu_precision="split2")
     assert not any("shadow" in str(r.message) for r in rec)
+
+
+def test_bmu_norm_p_odd_exact_vs_float64():
+    """Round 5 (VERDICT r4 #7): the odd-p elementwise kernel is exact f32
+    — winners match the float64 oracle on random data for p=3 and p=5,
+    values match the p-th-power distance scale, padded codebook rows
+    never win, and first-index tie-breaking holds."""
+    rng = np.random.RandomState(3)
+    x = rng.rand(300, 24).astype(np.float32)
+    w = rng.rand(517, 24).astype(np.float32)  # odd node count -> padding
+    for p in (3, 5):
+        d64 = (
+            np.abs(x[:, None].astype(np.float64) - w[None].astype(np.float64))
+            ** p
+        ).sum(-1)
+        idx, val = pl_bmu.bmu_norm_p_odd(
+            jnp.asarray(x), jnp.asarray(w), p=p, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), d64.argmin(1))
+        np.testing.assert_allclose(
+            np.asarray(val), d64.min(1), rtol=1e-5, atol=1e-6
+        )
+
+    # exact duplicate codebook rows: first index wins (NumPy argmin)
+    w_tie = np.vstack([w[:5], w[:5]]).astype(np.float32)
+    idx, _ = pl_bmu.bmu_norm_p_odd(
+        jnp.asarray(w[:5]), jnp.asarray(w_tie), p=3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(5))
+
+    with pytest.raises(ValueError, match="odd"):
+        pl_bmu.bmu_norm_p_odd(jnp.asarray(x), jnp.asarray(w), p=4, interpret=True)
+
+
+def test_norm_p_odd_dispatch_routing():
+    """core._pallas_bmu_kind routes odd integer p to the new kernel (on
+    TPU), keeps even p on the GEMM expansion, and leaves fractional p on
+    the XLA path; the D gate matches the L1 kernel's."""
+    from xpysom_dask_tpu import core
+    from xpysom_dask_tpu.ops.distances import DistanceFunction
+
+    import jax
+
+    def kind(p, d=32):
+        return core._pallas_bmu_kind(
+            DistanceFunction("norm_p", {"p": p}), d, use_pallas=True
+        )
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("kind gates on the TPU backend")
+    assert kind(3) == "norm_p_odd"
+    assert kind(1) == "norm_p_odd"
+    assert kind(4) == "norm_p_even"
+    assert kind(2.5) is None
+    assert kind(3, d=512) is None  # beyond the L1 kernel's D gate

@@ -305,12 +305,14 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
         p = dist.kwargs.get("p", 2)
         # fractional p must stay on the generic XLA path — int() truncation
         # here would silently dispatch the wrong metric
-        if (
-            float(p).is_integer()
-            and int(p) % 2 == 0
-            and d_dim * (int(p) + 1) <= _PALLAS_MAX_D
-        ):
-            return "norm_p_even"
+        if float(p).is_integer():
+            ip = int(p)
+            if ip % 2 == 0 and d_dim * (ip + 1) <= _PALLAS_MAX_D:
+                return "norm_p_even"
+            # odd p (round 5, VERDICT r4 #7): the elementwise VPU kernel,
+            # same D gate as the L1 kernel it extends
+            if ip % 2 == 1 and ip >= 1 and d_dim <= _PALLAS_MANHATTAN_MAX_D:
+                return "norm_p_odd"
     return None
 
 
@@ -376,6 +378,15 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
         idx, _ = bmu_norm_p_even(
             x, w_flat, p=int(dist.kwargs.get("p", 2)),
             mode=mode if mode is not None else "highest", tiles=tiles,
+        )
+        return idx
+    if kind == "norm_p_odd":
+        from .ops.pallas.bmu import bmu_norm_p_odd
+
+        # exact f32 elementwise kernel — precision modes don't apply
+        # (like the L1 kernel); the win is the O(N) transient envelope
+        idx, _ = bmu_norm_p_odd(
+            x, w_flat, p=int(dist.kwargs.get("p", 2)), tiles=tiles
         )
         return idx
     d = dist.flat(x, w_flat, w_sq)

@@ -503,6 +503,10 @@ class XPySom:
             p = int(self._activation_distance_kwargs.get("p", 2))
             d_eff = self._input_len * (p + 1)
             kwargs.setdefault("mode", self._bmu_precision)
+        elif kind == "norm_p_odd":
+            p = int(self._activation_distance_kwargs.get("p", 3))
+            kwargs.setdefault("kernel", f"norm_p_odd_{p}")
+            kwargs.setdefault("mode", None)  # exact f32, no precision modes
         else:
             kwargs.setdefault("mode", self._bmu_precision)
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead

@@ -71,6 +71,13 @@ def _kernel_call(kernel, x, w, mode, tiles, interpret):
         return bmu_manhattan(
             x, w, tiles=tiles, interpret=interpret, accum=mode or "serial"
         )
+    if kernel.startswith("norm_p_odd"):
+        # 'norm_p_odd_<p>' (round 5): the odd-p elementwise kernel; p is
+        # static in the kernel so it rides in the name
+        from .bmu import bmu_norm_p_odd
+
+        p = int(kernel.rsplit("_", 1)[-1]) if kernel[-1].isdigit() else 3
+        return bmu_norm_p_odd(x, w, p=p, tiles=tiles, interpret=interpret)
     return bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
 
 
