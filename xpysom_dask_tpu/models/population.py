@@ -84,6 +84,16 @@ __all__ = ["SomPopulation"]
 
 _F32 = jnp.float32
 
+# Streaming-'auto' routing gate (round 5, tools/r5_results.jsonl): the
+# fused lax.map-over-members program beat the concatenated GEMM 1.31–1.35×
+# at P·XY ∈ {2.3k, 9.2k} stacked nodes but lost (0.84×) at 36.9k, where
+# the concatenated GEMM finally fills the MXU while lax.map pays P
+# sequential small-kernel passes. The crossover is bracketed in
+# (9.2k, 36.9k); 24k splits the bracket and routes every measured row to
+# its winner. Model-selection sweeps live far below it (P=16 of 24×24
+# maps = 9.2k), so 'auto' rides the fused program in practice.
+_FUSED_STREAM_MAX_NODES = 24576
+
 
 def _pop_decays(specs, t, num_epochs):
     """Per-member (η_t, σ_t) from each member's *static* schedule and the
@@ -571,8 +581,11 @@ class SomPopulation:
           fused programs at sweep-sized maps — kept as the measurement
           baseline and for wide-map cases where a per-member kernel
           pass underfills the MXU.
-        - ``'auto'`` (default): ``'serial'`` for resident data,
-          ``'fused'`` for streaming sources.
+        - ``'auto'`` (default): ``'serial'`` for resident data; for
+          streaming sources ``'fused'`` while the stacked codebook is
+          ≤ ~24k nodes, else ``'batched'`` (the measured crossover — at
+          ~37k stacked nodes the concatenated GEMM fills the MXU and
+          wins, BASELINE.md round 5).
 
         Either strategy trains the same math per member; programs differ,
         so compare across strategies by quantization error, not bitwise
@@ -612,12 +625,20 @@ class SomPopulation:
                     "'fused': serial's per-member fused kernels in one "
                     "pass) for source-like data"
                 )
+            if strategy == "batched":
+                impl = "concat"
+            elif strategy == "fused":
+                impl = "fused"
+            else:
+                # 'auto' (round 5, BASELINE.md): the fused lax.map program
+                # won 1.3× at P·XY ≤ ~9.2k nodes but the concatenated GEMM
+                # finally fills the MXU at ~37k (0.84×) — route by the
+                # stacked-codebook size with the measured crossover gate
+                total_nodes = self._n_members * self._x * self._y
+                impl = "fused" if total_nodes <= _FUSED_STREAM_MAX_NODES else "concat"
             return self._train_streaming(
                 data, num_epochs, iter_beg, iter_end, verbose,
-                checkpoint_path, checkpoint_every,
-                # measured winner for the streaming fold (round 5,
-                # BASELINE.md): the lax.map-over-members fused program
-                stats_impl="concat" if strategy == "batched" else "fused",
+                checkpoint_path, checkpoint_every, stats_impl=impl,
             )
         data2d = _as_numpy_2d(data)
         if data2d.shape[1] != self._input_len:
