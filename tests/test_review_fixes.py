@@ -83,7 +83,12 @@ def test_fractional_p_never_dispatches_even_kernel(monkeypatch):
 
     monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
     assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 2.5}), 8) is None
-    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.0}), 8) is None
+    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.5}), 8) is None
+    # integer-VALUED p routes to the matching kernel (round 5: odd p too)
+    assert (
+        core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.0}), 8)
+        == "norm_p_odd"
+    )
     assert (
         core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 4.0}), 8)
         == "norm_p_even"
