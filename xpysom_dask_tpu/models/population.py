@@ -86,12 +86,13 @@ _F32 = jnp.float32
 
 # Streaming-'auto' routing gate (round 5, tools/r5_results.jsonl): the
 # fused lax.map-over-members program beat the concatenated GEMM 1.31–1.35×
-# at P·XY ∈ {2.3k, 9.2k} stacked nodes but lost (0.84×) at 36.9k, where
-# the concatenated GEMM finally fills the MXU while lax.map pays P
-# sequential small-kernel passes. The crossover is bracketed in
-# (9.2k, 36.9k); 24k splits the bracket and routes every measured row to
-# its winner. Model-selection sweeps live far below it (P=16 of 24×24
-# maps = 9.2k), so 'auto' rides the fused program in practice.
+# at P·XY ∈ {2.3k, 9.2k} stacked nodes and still 1.06× at 18.4k, but lost
+# (0.84×) at 36.9k, where the concatenated GEMM finally fills the MXU
+# while lax.map pays P sequential small-kernel passes. The crossover is
+# bracketed in (18.4k, 36.9k); 24k sits inside the bracket and routes
+# every measured row to its winner. Model-selection sweeps live far below
+# it (P=16 of 24×24 maps = 9.2k), so 'auto' rides the fused program in
+# practice.
 _FUSED_STREAM_MAX_NODES = 24576
 
 

@@ -429,7 +429,12 @@ def make_topographic_stats_fn_2d(spec: SomSpec, mesh: Mesh):
     semantics feed the SAME lexicographic merge as the ``lax.top_k``
     fallback (which remains for ``use_pallas=False`` / off-TPU). The
     degenerate (data=1, model=1) grid mesh in ``tests_tpu`` lowers this
-    program through the real Mosaic compiler on a single chip."""
+    program through the real Mosaic compiler on a single chip.
+
+    Measured on-chip (tools/r5_grid_te.py, (1,1) grid, 128×128×64,
+    N=65536): fused 1.14 M samples/s vs fallback 0.755 M — 1.51×, TE
+    bit-equal. The r4 rationale for keeping the fallback unfused
+    ("cross-shard merge complexity") is hereby superseded by evidence."""
     from ..core import _pallas_bmu_kind, grid_coordinates
 
     n_model = mesh.shape[MODEL_AXIS]
