@@ -223,10 +223,13 @@ def test_pallas_bmu_kind_gating(monkeypatch):
     assert kind(DistanceFunction("manhattan"), 512) is None
     assert kind(DistanceFunction("norm_p", {"p": 4}), 512) is None  # D(p+1)
     # odd integer p rides the elementwise kernel (round 5, L1 D gate);
-    # fractional p and no_opt names stay on XLA
+    # fractional p rides the exp/log elementwise kernel (round 5
+    # close-out, same gate); no_opt names stay on XLA
     assert kind(DistanceFunction("norm_p", {"p": 3}), 16) == "norm_p_odd"
     assert kind(DistanceFunction("norm_p", {"p": 3}), 512) is None
-    assert kind(DistanceFunction("norm_p", {"p": 2.5}), 16) is None
+    assert kind(DistanceFunction("norm_p", {"p": 2.5}), 16) == "norm_p_frac"
+    assert kind(DistanceFunction("norm_p", {"p": 2.5}), 512) is None
+    assert kind(DistanceFunction("norm_p", {"p": -0.5}), 16) is None
     assert kind(DistanceFunction("euclidean_no_opt"), 16) is None
     # kill switch: resolved at SPEC CONSTRUCTION (the one env boundary,
     # SomSpec.__post_init__), threaded into the gate as use_pallas=False —
@@ -483,10 +486,69 @@ def test_bmu_norm_p_odd_exact_vs_float64():
         pl_bmu.bmu_norm_p_odd(jnp.asarray(x), jnp.asarray(w), p=4, interpret=True)
 
 
+@pytest.mark.parametrize("p", [0.5, 1.5, 2.5, 3.7])
+def test_bmu_norm_p_frac_matches_float64(p):
+    """Round 5 close-out: the fractional-p elementwise kernel. Values
+    match the float64 oracle to transcendental-lowering tolerance (the
+    same exp/log identity XLA's pow uses on the path this replaces);
+    winners match wherever the float64 runner-up margin exceeds that
+    tolerance; padded codebook rows never win; exact-duplicate rows
+    break ties first-index; integer p is rejected."""
+    rng = np.random.RandomState(int(p * 10))
+    x = rng.rand(300, 24).astype(np.float32)
+    w = rng.rand(517, 24).astype(np.float32)  # odd node count -> padding
+    d64 = (
+        np.abs(x[:, None].astype(np.float64) - w[None].astype(np.float64))
+        ** p
+    ).sum(-1)
+    idx, val = pl_bmu.bmu_norm_p_frac(
+        jnp.asarray(x), jnp.asarray(w), p=p, interpret=True
+    )
+    idx = np.asarray(idx)
+    assert idx.max() < 517  # padding rows never win
+    # winner parity outside the fp32 near-tie band
+    order = np.sort(d64, axis=1)
+    margin = (order[:, 1] - order[:, 0]) / order[:, 0]
+    disagree = idx != d64.argmin(1)
+    assert not np.any(disagree & (margin > 1e-4)), (
+        int(disagree.sum()),
+        float(margin[disagree].min()) if disagree.any() else None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(val), d64[np.arange(len(x)), idx], rtol=2e-4
+    )
+
+    # exact duplicate codebook rows: first index wins (NumPy argmin)
+    w_tie = np.vstack([w[:5], w[:5]]).astype(np.float32)
+    idx_t, _ = pl_bmu.bmu_norm_p_frac(
+        jnp.asarray(w[:5]), jnp.asarray(w_tie), p=p, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx_t), np.arange(5))
+
+    with pytest.raises(ValueError, match="non-integer"):
+        pl_bmu.bmu_norm_p_frac(jnp.asarray(x), jnp.asarray(w), p=2, interpret=True)
+    with pytest.raises(ValueError, match="non-integer"):
+        pl_bmu.bmu_norm_p_frac(jnp.asarray(x), jnp.asarray(w), p=-0.5, interpret=True)
+
+
+def test_bmu_norm_p_frac_zero_distance_rows():
+    """t=0 features must contribute exactly 0 through the exp/log path
+    (exp(frac·log 0) = 0, no NaN): a sample equal to a codebook row wins
+    with distance 0."""
+    rng = np.random.RandomState(9)
+    w = rng.rand(40, 8).astype(np.float32)
+    idx, val = pl_bmu.bmu_norm_p_frac(
+        jnp.asarray(w[10:13]), jnp.asarray(w), p=1.5, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(idx), [10, 11, 12])
+    np.testing.assert_array_equal(np.asarray(val), np.zeros(3, np.float32))
+
+
 def test_norm_p_odd_dispatch_routing():
-    """core._pallas_bmu_kind routes odd integer p to the new kernel (on
-    TPU), keeps even p on the GEMM expansion, and leaves fractional p on
-    the XLA path; the D gate matches the L1 kernel's."""
+    """core._pallas_bmu_kind routes odd integer p to the elementwise
+    kernel (on TPU), keeps even p on the GEMM expansion, and sends
+    fractional p to the exp/log elementwise kernel; the D gate matches
+    the L1 kernel's."""
     from xpysom_dask_tpu import core
     from xpysom_dask_tpu.ops.distances import DistanceFunction
 
@@ -502,5 +564,6 @@ def test_norm_p_odd_dispatch_routing():
     assert kind(3) == "norm_p_odd"
     assert kind(1) == "norm_p_odd"
     assert kind(4) == "norm_p_even"
-    assert kind(2.5) is None
+    assert kind(2.5) == "norm_p_frac"
     assert kind(3, d=512) is None  # beyond the L1 kernel's D gate
+    assert kind(2.5, d=512) is None

@@ -76,14 +76,21 @@ def test_grid_mesh_tiny_map_topographic_error_falls_back():
 
 
 def test_fractional_p_never_dispatches_even_kernel(monkeypatch):
-    """norm_p with fractional p must stay on the generic XLA path — the
-    even-p kernel would silently compute the wrong metric."""
+    """norm_p with fractional p must never hit the even-p binomial kernel
+    (it would silently compute the wrong metric) — it routes to its own
+    exp/log elementwise kernel (round 5 close-out)."""
     from xpysom_dask_tpu import core
     from xpysom_dask_tpu.ops.distances import DistanceFunction
 
     monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
-    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 2.5}), 8) is None
-    assert core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.5}), 8) is None
+    assert (
+        core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 2.5}), 8)
+        == "norm_p_frac"
+    )
+    assert (
+        core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.5}), 8)
+        == "norm_p_frac"
+    )
     # integer-VALUED p routes to the matching kernel (round 5: odd p too)
     assert (
         core._pallas_bmu_kind(DistanceFunction("norm_p", {"p": 3.0}), 8)

@@ -774,3 +774,47 @@ def test_norm_p_odd_kernel_on_chip(record):
     record("norm_p3_qe_kernel", round(qe_k, 6))
     record("norm_p3_qe_xla", round(qe_x, 6))
     assert qe_k == pytest.approx(qe_x, rel=1e-3)
+
+
+def test_norm_p_frac_kernel_on_chip(record):
+    """Round 5 close-out: fractional-p norm_p BMU rides the exp/log
+    elementwise Pallas kernel (Mosaic transcendental lowering). Fidelity
+    vs float64 outside the near-tie band, then end-to-end training
+    parity against the use_pallas=False XLA formulation (which lowers
+    pow the same way — QE must agree tightly)."""
+    rng = np.random.RandomState(67)
+    p = 1.5
+    x = rng.rand(4096, 32).astype(np.float32)
+    w = rng.rand(2048, 32).astype(np.float32)
+    d64 = (
+        np.abs(x[:, None].astype(np.float64) - w[None].astype(np.float64)) ** p
+    ).sum(-1)
+    idx, val = pl_bmu.bmu_norm_p_frac(jnp.asarray(x), jnp.asarray(w), p=p)
+    idx = np.asarray(idx)
+    order = np.sort(d64, axis=1)
+    margin = (order[:, 1] - order[:, 0]) / order[:, 0]
+    disagree = idx != d64.argmin(1)
+    flips = int(disagree.sum())
+    record("norm_p1.5_flips_vs_float64", flips)
+    record("norm_p1.5_flips_outside_1e4_margin",
+           int(np.sum(disagree & (margin > 1e-4))))
+    assert not np.any(disagree & (margin > 1e-4))
+    np.testing.assert_allclose(
+        np.asarray(val), d64[np.arange(len(x)), idx], rtol=2e-4
+    )
+
+    data = rng.rand(4096, 16).astype(np.float32)
+    kw = dict(
+        sigma=3.0, random_seed=8,
+        activation_distance="norm_p",
+        activation_distance_kwargs={"p": 1.5},
+    )
+    som_k = XPySom(12, 12, 16, **kw)
+    som_k.train(data, 3)
+    som_x = XPySom(12, 12, 16, use_pallas=False, **kw)
+    som_x.train(data, 3)
+    qe_k = float(som_k.quantization_error(data))
+    qe_x = float(som_x.quantization_error(data))
+    record("norm_p1.5_qe_kernel", round(qe_k, 6))
+    record("norm_p1.5_qe_xla", round(qe_x, 6))
+    assert qe_k == pytest.approx(qe_x, rel=1e-3)

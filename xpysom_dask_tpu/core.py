@@ -303,9 +303,9 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
         return "manhattan"
     if dist.name == "norm_p":
         p = dist.kwargs.get("p", 2)
-        # fractional p must stay on the generic XLA path — int() truncation
-        # here would silently dispatch the wrong metric
         if float(p).is_integer():
+            # int() truncation without the is_integer() guard would
+            # silently dispatch a fractional p to the wrong metric
             ip = int(p)
             if ip % 2 == 0 and d_dim * (ip + 1) <= _PALLAS_MAX_D:
                 return "norm_p_even"
@@ -313,6 +313,12 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
             # same D gate as the L1 kernel it extends
             if ip % 2 == 1 and ip >= 1 and d_dim <= _PALLAS_MANHATTAN_MAX_D:
                 return "norm_p_odd"
+        elif float(p) > 0 and d_dim <= _PALLAS_MANHATTAN_MAX_D:
+            # fractional p (round 5 close-out): the exp/log elementwise
+            # kernel — same pow-lowering identity as the XLA broadcast
+            # path, so fidelity class is unchanged and only the
+            # O(chunk·XY·D) transient goes away (bmu_norm_p_frac)
+            return "norm_p_frac"
     return None
 
 
@@ -387,6 +393,15 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
         # (like the L1 kernel); the win is the O(N) transient envelope
         idx, _ = bmu_norm_p_odd(
             x, w_flat, p=int(dist.kwargs.get("p", 2)), tiles=tiles
+        )
+        return idx
+    if kind == "norm_p_frac":
+        from .ops.pallas.bmu import bmu_norm_p_frac
+
+        # same fidelity class as the XLA pow lowering (both go through
+        # exp(frac·log t)); the win is the O(N) transient envelope
+        idx, _ = bmu_norm_p_frac(
+            x, w_flat, p=float(dist.kwargs.get("p", 2)), tiles=tiles
         )
         return idx
     d = dist.flat(x, w_flat, w_sq)

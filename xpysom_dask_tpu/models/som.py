@@ -507,6 +507,10 @@ class XPySom:
             p = int(self._activation_distance_kwargs.get("p", 3))
             kwargs.setdefault("kernel", f"norm_p_odd_{p}")
             kwargs.setdefault("mode", None)  # exact f32, no precision modes
+        elif kind == "norm_p_frac":
+            p = float(self._activation_distance_kwargs.get("p", 1.5))
+            kwargs.setdefault("kernel", f"norm_p_frac_{p}")
+            kwargs.setdefault("mode", None)  # no precision modes
         else:
             kwargs.setdefault("mode", self._bmu_precision)
         kwargs.setdefault("inner", 8)  # amortize per-dispatch overhead

@@ -78,6 +78,13 @@ def _kernel_call(kernel, x, w, mode, tiles, interpret):
 
         p = int(kernel.rsplit("_", 1)[-1]) if kernel[-1].isdigit() else 3
         return bmu_norm_p_odd(x, w, p=p, tiles=tiles, interpret=interpret)
+    if kernel.startswith("norm_p_frac"):
+        # 'norm_p_frac_<p>' (round 5 close-out): fractional-p elementwise
+        # kernel, p (a float literal like 1.5) rides in the name
+        from .bmu import bmu_norm_p_frac
+
+        p = float(kernel.rsplit("_", 1)[-1]) if kernel[-1].isdigit() else 1.5
+        return bmu_norm_p_frac(x, w, p=p, tiles=tiles, interpret=interpret)
     return bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
 
 

@@ -120,6 +120,7 @@ __all__ = [
     "bmu_manhattan",
     "bmu_norm_p_even",
     "bmu_norm_p_odd",
+    "bmu_norm_p_frac",
     "supported",
 ]
 
@@ -934,6 +935,59 @@ def bmu_cosine(x, w_flat, *, interpret=False, mode=None, tiles=None):
     return idx, 1.0 - sim
 
 
+def _elementwise_bmu_call(kernel_body, x, w_flat, tiles, interpret):
+    """Shared launch wrapper for the elementwise (VPU-tile) BMU kernels
+    (manhattan / odd-p / fractional-p): pad samples to the (TN multiple
+    of 8) row tile with zeros, pad the transposed codebook to the (TJ
+    multiple of 128) lane tile with +inf so padded nodes never win, run
+    ``kernel_body`` over the 2-D (sample, codebook) grid with the shared
+    running-(min, argmin) VMEM carries, and slice the winners back to the
+    true sample count. One copy of the sizing so the three kernels cannot
+    drift (the L1 tile default (512, 1024) is the round-3 measured
+    optimum; the other two inherit its VMEM envelope)."""
+    n, d_dim = x.shape
+    xy = w_flat.shape[0]
+    tn_max, tj_max = tiles if tiles is not None else (512, 1024)
+    tn = min(tn_max, max(8, -(-n // 8) * 8))
+    tj = min(tj_max, max(128, -(-xy // 128) * 128))
+    n_pad = -(-n // tn) * tn
+    xy_pad = -(-xy // tj) * tj
+
+    x_p = _pad_to(x.astype(jnp.float32), n_pad, 0, 0.0)
+    # pad codebook with +inf so the padded nodes' distances are inf
+    wt = _pad_to(w_flat.astype(jnp.float32).T, xy_pad, 1, jnp.inf)
+
+    common = dict(
+        grid=(n_pad // tn, xy_pad // tj),
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    if not interpret:
+        common["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    idx, val = pl.pallas_call(
+        kernel_body,
+        in_specs=[
+            pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        **common,
+    )(x_p, wt)
+    return idx[:n, 0], val[:n, 0]
+
+
 def _kernel_manhattan_argmin(
     x_ref,
     wt_ref,
@@ -1000,49 +1054,13 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None, accum="serial"):
         raise ValueError(
             f"accum={accum!r} not recognized (serial|split2|split4|bf16)"
         )
-    n, d_dim = x.shape
-    xy = w_flat.shape[0]
-    # (512, 1024) measured 14.9 ms vs 15.9 for (256, 1024) at
-    # 16384x16384x64 (batched medians; (512, 2048) ties at 14.8)
-    tn_max, tj_max = tiles if tiles is not None else (512, 1024)
-    tn = min(tn_max, max(8, -(-n // 8) * 8))
-    tj = min(tj_max, max(128, -(-xy // 128) * 128))
-    n_pad = -(-n // tn) * tn
-    xy_pad = -(-xy // tj) * tj
-
-    x_p = _pad_to(x.astype(jnp.float32), n_pad, 0, 0.0)
-    # pad codebook with +inf so |x − w| = inf keeps padded nodes losing
-    wt = _pad_to(w_flat.astype(jnp.float32).T, xy_pad, 1, jnp.inf)
-
-    common = dict(
-        grid=(n_pad // tn, xy_pad // tj),
-        out_specs=[
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tn, 1), jnp.float32),
-            pltpu.VMEM((tn, 1), jnp.int32),
-        ],
-        interpret=interpret,
+    # tile default lives in _elementwise_bmu_call: (512, 1024) measured
+    # 14.9 ms vs 15.9 for (256, 1024) at 16384x16384x64 (batched
+    # medians; (512, 2048) ties at 14.8)
+    return _elementwise_bmu_call(
+        partial(_kernel_manhattan_argmin, accum=accum), x, w_flat, tiles,
+        interpret,
     )
-    if not interpret:
-        common["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        )
-    idx, val = pl.pallas_call(
-        partial(_kernel_manhattan_argmin, accum=accum),
-        in_specs=[
-            pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        **common,
-    )(x_p, wt)
-    return idx[:n, 0], val[:n, 0]
 
 
 def _kernel_lp_odd_argmin(
@@ -1097,47 +1115,85 @@ def bmu_norm_p_odd(x, w_flat, p=3, *, interpret=False, tiles=None):
     norm_p name)."""
     if p < 1 or p % 2 == 0:
         raise ValueError(f"p={p} must be a positive odd integer")
-    n, d_dim = x.shape
-    xy = w_flat.shape[0]
     # L1 kernel's measured default tile; the same VMEM envelope holds
-    tn_max, tj_max = tiles if tiles is not None else (512, 1024)
-    tn = min(tn_max, max(8, -(-n // 8) * 8))
-    tj = min(tj_max, max(128, -(-xy // 128) * 128))
-    n_pad = -(-n // tn) * tn
-    xy_pad = -(-xy // tj) * tj
-
-    x_p = _pad_to(x.astype(jnp.float32), n_pad, 0, 0.0)
-    wt = _pad_to(w_flat.astype(jnp.float32).T, xy_pad, 1, jnp.inf)
-
-    common = dict(
-        grid=(n_pad // tn, xy_pad // tj),
-        out_specs=[
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tn, 1), jnp.float32),
-            pltpu.VMEM((tn, 1), jnp.int32),
-        ],
-        interpret=interpret,
+    return _elementwise_bmu_call(
+        partial(_kernel_lp_odd_argmin, p=p), x, w_flat, tiles, interpret
     )
-    if not interpret:
-        common["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+
+
+def _kernel_lp_frac_argmin(
+    x_ref,
+    wt_ref,
+    idx_ref,
+    val_ref,
+    best_ref,
+    bestidx_ref,
+    *,
+    p=1.5,
+    variant="iota",
+):
+    """Fractional-p L^p tile (round 5 close-out): per-dim ``t = |x − w|``
+    like the L1 kernel, raised to the static non-integer ``p`` as
+    ``t^⌊p⌋ · t^frac`` — the integer part is an exact multiply chain and
+    only the fractional remainder goes through a transcendental
+    (``sqrt`` when it is exactly ½, else ``exp(frac·log t)`` on the
+    VPU). This is the SAME identity XLA uses to lower the broadcast
+    path's non-integer ``pow`` (reference distances.py:61-75), with a
+    smaller transcendental exponent — so fidelity is at least the XLA
+    path's while the transient stays O(N) instead of O(chunk·XY·D).
+
+    Edge behavior is IEEE-clean with no masking: ``t=0`` gives
+    ``exp(frac·log 0) = exp(−inf) = 0`` (and ``sqrt(0) = 0``); the +inf
+    codebook padding gives ``exp(frac·inf) = inf`` so padded nodes still
+    never win."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, jnp.inf)
+        bestidx_ref[:] = jnp.zeros_like(bestidx_ref)
+
+    x = x_ref[:]  # (TN, D)
+    wt = wt_ref[:]  # (D, TJ)
+    m = int(np.floor(p))
+    f = float(p) - m
+    acc = jnp.zeros((x.shape[0], wt.shape[1]), dtype=jnp.float32)
+    for k in range(x.shape[1]):
+        t = jnp.abs(x[:, k : k + 1] - wt[k : k + 1, :])
+        if f == 0.5:
+            tp = jnp.sqrt(t)
+        else:
+            tp = jnp.exp(jnp.float32(f) * jnp.log(t))
+        for _ in range(m):
+            tp = tp * t
+        acc = acc + tp
+    _finish(j, nj, acc, idx_ref, val_ref, best_ref, bestidx_ref, variant)
+
+
+@partial(jax.jit, static_argnames=("p", "interpret", "tiles"))
+def bmu_norm_p_frac(x, w_flat, p=1.5, *, interpret=False, tiles=None):
+    """Fused BMU search under FRACTIONAL (non-integer) ``norm_p``
+    activations: ``(idx, val)`` with ``idx[n] = argmin_j Σ_d
+    |x_nd − w_jd|^p`` and ``val`` the p-th-power distance (the XLA
+    form's comparison scale, reference distances.py:61-75). NumPy
+    first-index ties; codebook padding rows are +inf so they never win.
+
+    Fidelity class matches the XLA broadcast path it replaces — both
+    evaluate the non-integer power as ``exp(p·log t)`` on the VPU (here
+    with the integer part factored into an exact multiply chain) — so
+    routing to this kernel never degrades numerics, it only removes the
+    O(chunk·XY·D) broadcast transient. ``p`` must be positive and
+    non-integer (integer p has its own exact kernels)."""
+    p = float(p)
+    if not p > 0 or p.is_integer():
+        raise ValueError(
+            f"p={p} must be a positive non-integer (odd/even integer p "
+            "ride bmu_norm_p_odd / bmu_norm_p_even)"
         )
-    idx, val = pl.pallas_call(
-        partial(_kernel_lp_odd_argmin, p=p),
-        in_specs=[
-            pl.BlockSpec((tn, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_dim, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        **common,
-    )(x_p, wt)
-    return idx[:n, 0], val[:n, 0]
+    return _elementwise_bmu_call(
+        partial(_kernel_lp_frac_argmin, p=p), x, w_flat, tiles, interpret
+    )
 
 
 @partial(jax.jit, static_argnames=("p", "interpret", "mode", "tiles"))

@@ -171,6 +171,15 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None, spec=N
             x, w_local, p=int(dist.kwargs.get("p", 2)), tiles=tiles
         )
         return val, idx
+    if kind == "norm_p_frac":
+        from ..ops.pallas.bmu import bmu_norm_p_frac
+
+        # absolute p-th-power values like L1/odd-p — comparable across
+        # shards without a center
+        idx, val = bmu_norm_p_frac(
+            x, w_local, p=float(dist.kwargs.get("p", 2)), tiles=tiles
+        )
+        return val, idx
     d_local = dist.flat(x, w_local, w_sq)
     # jnp.argmin is first-index on ties, same as the kernel's iota trick
     return jnp.min(d_local, axis=1), jnp.argmin(d_local, axis=1).astype(jnp.int32)
