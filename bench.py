@@ -257,9 +257,12 @@ def main():
             med[inner] = min(ts)
         per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)
         searches_per_sec = sn / per_exec if per_exec > 0 else None
+        rate_s = (
+            f"{searches_per_sec:,.0f}" if searches_per_sec else "n/a (slope<=0)"
+        )
         print(
             f"BMU search: {sn}x{x * y}x{d} per_exec={per_exec * 1e3:.3f} ms "
-            f"-> {searches_per_sec:,.0f} searches/s",
+            f"-> {rate_s} searches/s",
             file=sys.stderr,
         )
         print(

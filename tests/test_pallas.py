@@ -354,11 +354,14 @@ def test_bmu_top2_validation():
 
 
 def test_bmu_split2_exact_on_rounded_codebook():
-    """split2's contract (round 5): the EXACT argmin/min of the partial
-    distance to the bf16-ROUNDED codebook — a perturbed problem solved
-    exactly, not the true problem evaluated noisily (bmu.py module
-    docstring). Oracle: float64 distances to the codebook rounded the
-    same way the kernel rounds it (bf16 split of -2·wᵀ)."""
+    """split2's contract (round 5, wording tightened by review): the
+    argmin/min of the partial distance from the 16-BIT-TRUNCATED sample
+    ``x̃ = f32(xh)+f32(xl)`` (a 2-term Dekker split keeps 16 of f32's 24
+    mantissa bits) to the bf16-ROUNDED codebook, exact up to f32
+    accumulation — a perturbed problem, solved to accumulation accuracy
+    (bmu.py module docstring). Oracle: float64 distances between x̃ and
+    the codebook rounded the same way the kernel rounds it (bf16 split
+    of -2·wᵀ)."""
     import jax
 
     rng = np.random.RandomState(7)
@@ -367,13 +370,20 @@ def test_bmu_split2_exact_on_rounded_codebook():
     idx, val = pl_bmu.bmu_euclidean(
         jnp.asarray(x), jnp.asarray(w), interpret=True, mode="split2"
     )
+    xh = jax.lax.reduce_precision(
+        jnp.asarray(x), exponent_bits=8, mantissa_bits=7
+    )
+    xl = jax.lax.reduce_precision(
+        jnp.asarray(x) - xh, exponent_bits=8, mantissa_bits=7
+    )
+    x_t = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
     w2t_h = jax.lax.reduce_precision(
         jnp.asarray(-2.0 * w.T.astype(np.float32)),
         exponent_bits=8,
         mantissa_bits=7,
     )
     w_h = np.asarray(w2t_h, dtype=np.float64).T / -2.0
-    dref = -2 * x.astype(np.float64) @ w_h.T + (w_h**2).sum(1)
+    dref = -2 * x_t @ w_h.T + (w_h**2).sum(1)
     np.testing.assert_array_equal(np.asarray(idx), dref.argmin(1))
     np.testing.assert_allclose(np.asarray(val), dref.min(1), rtol=1e-4, atol=1e-4)
 
@@ -484,6 +494,29 @@ def test_bmu_norm_p_odd_exact_vs_float64():
 
     with pytest.raises(ValueError, match="odd"):
         pl_bmu.bmu_norm_p_odd(jnp.asarray(x), jnp.asarray(w), p=4, interpret=True)
+
+
+def test_bmu_norm_p_integer_valued_float_p():
+    """Integer-VALUED float p (the form dist kwargs often carry, e.g.
+    {'p': 3.0}) must be coerced, not die as an opaque TypeError inside
+    the kernel's range() unroll (review, round 5) — and non-integer
+    floats must still be rejected by the odd/even kernels."""
+    rng = np.random.RandomState(3)
+    x = rng.rand(24, 6).astype(np.float32)
+    w = rng.rand(40, 6).astype(np.float32)
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    i_odd, v_odd = pl_bmu.bmu_norm_p_odd(xj, wj, p=3, interpret=True)
+    i_oddf, v_oddf = pl_bmu.bmu_norm_p_odd(xj, wj, p=3.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_odd), np.asarray(i_oddf))
+    np.testing.assert_array_equal(np.asarray(v_odd), np.asarray(v_oddf))
+    i_ev, v_ev = pl_bmu.bmu_norm_p_even(xj, wj, p=4, interpret=True)
+    i_evf, v_evf = pl_bmu.bmu_norm_p_even(xj, wj, p=4.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_ev), np.asarray(i_evf))
+    np.testing.assert_array_equal(np.asarray(v_ev), np.asarray(v_evf))
+    with pytest.raises(ValueError, match="odd"):
+        pl_bmu.bmu_norm_p_odd(xj, wj, p=3.5, interpret=True)
+    with pytest.raises(ValueError, match="even"):
+        pl_bmu.bmu_norm_p_even(xj, wj, p=2.5, interpret=True)
 
 
 @pytest.mark.parametrize("p", [0.5, 1.5, 2.5, 3.7])

@@ -479,13 +479,13 @@ class XPySom:
                 "to tune; returning None"
             )
             return None
-        # mirror _chunked's sizing: cap at the data size, then floor to
-        # the kernel sample tile
-        chunk = self._n_parallel
-        if n_samples is not None:
-            chunk = min(chunk, round_up(max(int(n_samples), 1), 8))
-        if chunk > 1024:
-            chunk = max(1024, (chunk // 1024) * 1024)
+        # the SAME sizing training traces (utils.hw.training_chunk — the
+        # one shared copy, so autotuned tiles always measure the chunk
+        # shape _chunked will actually dispatch)
+        chunk = training_chunk(
+            int(n_samples) if n_samples is not None else self._n_parallel,
+            self._n_parallel,
+        )
         xy = self._x * self._y
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import MODEL_AXIS

@@ -166,7 +166,11 @@ def autotune_bmu_tiles(
     otherwise the sweep ranks dispatch noise, not tiles.
     ``kernel`` selects which fused kernel to time: 'euclidean' (also
     serves cosine and — at the EXPANDED feature width, with
-    mode='highest' — even-p norm_p) or 'manhattan'."""
+    mode='highest' — even-p norm_p), 'manhattan', 'norm_p_odd_<p>'
+    (e.g. 'norm_p_odd_3') or 'norm_p_frac_<p>' (e.g. 'norm_p_frac_1.5')
+    — the elementwise VPU kernels are a different tile-cost class than
+    the MXU GEMM kernel, so tune them under their own name (these are
+    the names ``XPySom.autotune_kernel`` generates)."""
     candidates = tuple(candidates) if candidates else DEFAULT_CANDIDATES
     if interpret is None:
         interpret = not supported()

@@ -56,15 +56,18 @@ single K-chain accumulation, so it can flip float64-near-tie BMUs
 measured-zero-flips default.
 
 ``split2`` (round 5, VERDICT r4 #2) is the K=2D+3 midpoint between
-packed and bf16: ``[xh|xl] @ [wh;wh]`` = ``x·wh`` to full f32-
-accumulation accuracy (the two x splits sum back exactly), paired with
-an exact 3-term split of ``‖w_h‖²`` computed from the ROUNDED codebook.
-The result is the EXACT partial distance to the bf16-quantized codebook
-``w_h`` — a perturbed *problem* solved exactly, not the true problem
-evaluated noisily. Its winner-flip error term is
-``2(x − w_j)·(w_j − w_h,j)`` — second-order near the winner (where
-``x − w_j`` is small) vs bf16's first-order ``~2⁻⁸·Σ|x||2w|`` envelope.
-The returned ``minval`` is the distance to the rounded codebook.
+packed and bf16: ``[xh|xl] @ [wh;wh]`` = ``x̃·wh`` where ``x̃ = xh+xl``
+keeps 16 of x's 24 mantissa bits (a 2-term Dekker split — relative
+truncation ≤ ~2⁻¹⁷), paired with an exact 3-term split of ``‖w_h‖²``
+computed from the ROUNDED codebook. The result is the exact-to-f32-
+accumulation partial distance between the 16-bit-truncated sample and
+the bf16-quantized codebook ``w_h`` — a perturbed *problem* solved
+(near-)exactly, not the true problem evaluated noisily. Its winner-flip
+error has two terms: the dominant second-order ``2(x − w_j)·(w_j −
+w_h,j)`` from codebook rounding, plus a first-order-but-2⁻¹⁷-scale
+``2(x − x̃)·w_h`` from the sample truncation — both far inside bf16's
+first-order ``~2⁻⁸·Σ|x||2w|`` envelope. The returned ``minval`` is the
+distance to the rounded codebook.
 
 ``dtile`` (round 3): the kernel is bound on VMEM traffic over the
 (TN, TJ) distance tile (1 write + ~2.6 reads of 4·TN·TJ bytes);
@@ -752,13 +755,14 @@ def bmu_euclidean(
         w2t = -2.0 * wt
         ones = jnp.ones((n_pad, 3), jnp.bfloat16)
         if mode == "split2":
-            # K=2D+3 midpoint (module docstring): exact partial distance
-            # to the bf16-ROUNDED codebook. [xh|xl]@[wh;wh] = x·w_h2t with
-            # only f32 accumulation error (the x splits sum back exactly),
-            # and the ‖w‖² operand is recomputed from the ROUNDED codebook
-            # (w_h = -w2t_h/2 ⇒ ‖w_h‖² = ¼·Σ w2t_h²) so the whole distance
-            # is self-consistent in w_h — the flip error is the
-            # second-order 2(x−w)·(w−w_h), not bf16's first-order |x||w|.
+            # K=2D+3 midpoint (module docstring): partial distance from
+            # the 16-bit-truncated sample x̃=xh+xl to the bf16-ROUNDED
+            # codebook. [xh|xl]@[wh;wh] = x̃·w_h2t (x's low 8 mantissa
+            # bits are dropped — ~2⁻¹⁷ relative), and the ‖w‖² operand is
+            # recomputed from the ROUNDED codebook (w_h = -w2t_h/2 ⇒
+            # ‖w_h‖² = ¼·Σ w2t_h²) so the distance is self-consistent in
+            # w_h — flip error: second-order 2(x−w)·(w−w_h) + 2⁻¹⁷-scale
+            # 2(x−x̃)·w_h, both far inside bf16's first-order |x||w|.
             wh, _ = _split_bf16(w2t)
             wsq_h = 0.25 * jnp.sum(
                 jnp.square(wh.astype(jnp.float32)), axis=0, keepdims=True
@@ -1113,8 +1117,13 @@ def bmu_norm_p_odd(x, w_flat, p=3, *, interpret=False, tiles=None):
     codebook padding rows are +inf so they never win. ``p`` must be a
     positive odd integer (p=1 is the L1 kernel's math through the
     norm_p name)."""
-    if p < 1 or p % 2 == 0:
+    # accept integer-VALUED floats (dist kwargs often carry p=3.0) the
+    # way bmu_norm_p_frac coerces with float(p) — without this, a float
+    # p that passes the odd check dies as an opaque TypeError in the
+    # kernel's range(p-1) unroll (review, round 5)
+    if not float(p).is_integer() or p < 1 or int(p) % 2 == 0:
         raise ValueError(f"p={p} must be a positive odd integer")
+    p = int(p)
     # L1 kernel's measured default tile; the same VMEM envelope holds
     return _elementwise_bmu_call(
         partial(_kernel_lp_odd_argmin, p=p), x, w_flat, tiles, interpret
@@ -1218,8 +1227,11 @@ def bmu_norm_p_even(
     absolute error lands on the cancelled digits). ``center`` overrides
     the centering vector — pass the GLOBAL codebook mean on sharded
     codebooks so per-shard min values stay comparable in pmin merges."""
-    if p % 2 != 0:
+    # accept integer-VALUED floats (p=4.0) like the odd/frac kernels —
+    # a float p would otherwise die in range(p+1) below (review, round 5)
+    if not float(p).is_integer() or int(p) % 2 != 0:
         raise ValueError("p must be even")
+    p = int(p)
     if mode == "margin":
         # the margin gate's error envelope S = Σ|φ(x)||ψ(w)| dwarfs the
         # catastrophically-cancelled distances, so every row would be a
