@@ -577,6 +577,34 @@ def test_bmu_norm_p_frac_zero_distance_rows():
     np.testing.assert_array_equal(np.asarray(val), np.zeros(3, np.float32))
 
 
+def test_bmu_norm_p_frac_rsqrt_hook_masks_correctly():
+    """The half_impl='rsqrt' measurement hook (t^0.5 as t*rsqrt(t)) must
+    mask both 0*inf products the identity creates: t=0 (sample equals
+    codebook feature) and the +inf codebook padding. Winners and values
+    must match the sqrt lowering bit-for-bit at p=1.5 (same fractional
+    exponent, different transcendental only in the half term)."""
+    from functools import partial
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(64, 8).astype(np.float32)
+    w = rng.rand(53, 8).astype(np.float32)  # odd count -> +inf padding
+    x[:3] = w[7:10]  # exact-match rows exercise the t=0 mask
+
+    def run(half_impl):
+        return pl_bmu._elementwise_bmu_call(
+            partial(pl_bmu._kernel_lp_frac_argmin, p=1.5, half_impl=half_impl),
+            jnp.asarray(x), jnp.asarray(w), None, True,
+        )
+
+    i_s, v_s = run("sqrt")
+    i_r, v_r = run("rsqrt")
+    assert np.asarray(i_r).max() < 53  # padding never wins
+    assert np.all(np.isfinite(np.asarray(v_r)))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_r[:3]), [7, 8, 9])
+
+
 def test_norm_p_odd_dispatch_routing():
     """core._pallas_bmu_kind routes odd integer p to the elementwise
     kernel (on TPU), keeps even p on the GEMM expansion, and sends

@@ -1140,6 +1140,7 @@ def _kernel_lp_frac_argmin(
     *,
     p=1.5,
     variant="iota",
+    half_impl="sqrt",
 ):
     """Fractional-p L^p tile (round 5 close-out): per-dim ``t = |x − w|``
     like the L1 kernel, raised to the static non-integer ``p`` as
@@ -1154,7 +1155,14 @@ def _kernel_lp_frac_argmin(
     Edge behavior is IEEE-clean with no masking: ``t=0`` gives
     ``exp(frac·log 0) = exp(−inf) = 0`` (and ``sqrt(0) = 0``); the +inf
     codebook padding gives ``exp(frac·inf) = inf`` so padded nodes still
-    never win."""
+    never win.
+
+    ``half_impl`` is a MEASUREMENT HOOK for the frac=½ class (not
+    reachable from the public API): ``'rsqrt'`` evaluates ``t^½`` as
+    ``t·rsqrt(t)`` to test whether the hardware reciprocal-sqrt unit
+    outruns the full sqrt lowering; it needs two masking selects
+    (``t=0 → 0·inf``, padding ``t=inf → inf·0``) that the sqrt form
+    avoids. Measured via ``tools/r5_frac_rsqrt.py``."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -1171,7 +1179,13 @@ def _kernel_lp_frac_argmin(
     for k in range(x.shape[1]):
         t = jnp.abs(x[:, k : k + 1] - wt[k : k + 1, :])
         if f == 0.5:
-            tp = jnp.sqrt(t)
+            if half_impl == "rsqrt":
+                # t^½ = t·rsqrt(t); mask the two 0·inf products the
+                # identity creates (t=0 and the +inf codebook padding)
+                tp = jnp.where(t > 0, t * jax.lax.rsqrt(t), 0.0)
+                tp = jnp.where(jnp.isfinite(t), tp, jnp.inf)
+            else:
+                tp = jnp.sqrt(t)
         else:
             tp = jnp.exp(jnp.float32(f) * jnp.log(t))
         for _ in range(m):
