@@ -217,29 +217,23 @@ def main():
     # cancels in the slope). Consumes idx only — the training-path
     # contract.
     try:
-        from xpysom_dask_tpu.ops.pallas.bmu import bmu_euclidean
+        # the scanned anti-hoisting harness is shared with the autotuner
+        # (single source of truth for the timing trick); consume='idx'
+        # times the training-path contract (indices only)
+        from xpysom_dask_tpu.ops.pallas.autotune import _scanned_kernel
 
         sn = int(os.environ.get("XSOM_BENCH_SEARCH_N", 16384))
         sx = jnp.asarray(rng.rand(sn, d).astype(np.float32))
         w_flat = w.reshape(x * y, d)  # the just-trained codebook
         interp = jax.default_backend() != "tpu"  # CPU smoke only
 
-        def scanned(inner):
-            @jax.jit
-            def run(xv, wv):
-                def body(c, _):
-                    idx, _ = bmu_euclidean(
-                        xv * (1.0 + c), wv, interpret=interp
-                    )
-                    z = jnp.sum(idx.astype(jnp.float32))
-                    return jnp.float32(1e-30) * jnp.tanh(z), None
-
-                c, _ = jax.lax.scan(
-                    body, jnp.float32(0.0), None, length=inner
+        def run(inner):
+            return float(
+                _scanned_kernel(
+                    "euclidean", sx, w_flat, None, None, interp, inner,
+                    consume="idx",
                 )
-                return c
-
-            return run
+            )
 
         inner_lo, inner_hi = 8, 40
         if os.environ.get("XSOM_BENCH_SEARCH_INNER"):
@@ -247,12 +241,11 @@ def main():
             inner_lo = max(1, inner_hi // 5)
         med = {}
         for inner in (inner_lo, inner_hi):
-            fn = scanned(inner)
-            float(fn(sx, w_flat))  # warmup/compile
+            run(inner)  # warmup/compile
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(fn(sx, w_flat))
+                run(inner)
                 ts.append(time.perf_counter() - t0)
             med[inner] = min(ts)
         per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)

@@ -109,6 +109,42 @@ def test_autotune_inner_scan_mode():
     assert np.isfinite(res.timings_ms[(8, 128)])
 
 
+def test_kernel_name_p_roundtrip_interpret():
+    """The '<kernel>_<p>' name encoding must survive every float repr —
+    rsplit('_') parsing split inside scientific notation ('norm_p_frac_
+    1e-05' -> -5.0) and crashed every candidate (review, round 5). The
+    prefix parse must hand the exact p to the kernel, including the
+    bare-name defaults."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+    from xpysom_dask_tpu.ops.pallas.autotune import _kernel_call
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(16, 8).astype(np.float32))
+    w = jnp.asarray(rng.rand(32, 8).astype(np.float32))
+
+    call = partial(_kernel_call, x=x, w=w, mode=None, tiles=None, interpret=True)
+    for p in (1e-05, 0.5, 1.5, 3.7):
+        idx, val = call(kernel=f"norm_p_frac_{p}")
+        ref_idx, ref_val = pl_bmu.bmu_norm_p_frac(x, w, p=p, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(val), np.asarray(ref_val))
+    for p in (3, 5):
+        idx, _ = call(kernel=f"norm_p_odd_{p}")
+        ref_idx, _ = pl_bmu.bmu_norm_p_odd(x, w, p=p, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    # bare names keep their documented defaults (p=1.5 / p=3)
+    idx, _ = call(kernel="norm_p_frac")
+    ref_idx, _ = pl_bmu.bmu_norm_p_frac(x, w, p=1.5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+    idx, _ = call(kernel="norm_p_odd")
+    ref_idx, _ = pl_bmu.bmu_norm_p_odd(x, w, p=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
 def test_som_autotune_kernel_method(monkeypatch):
     from xpysom_dask_tpu import XPySom, core
 

@@ -562,6 +562,12 @@ def test_bmu_norm_p_frac_matches_float64(p):
         pl_bmu.bmu_norm_p_frac(jnp.asarray(x), jnp.asarray(w), p=2, interpret=True)
     with pytest.raises(ValueError, match="non-integer"):
         pl_bmu.bmu_norm_p_frac(jnp.asarray(x), jnp.asarray(w), p=-0.5, interpret=True)
+    # zero/negative even p: a real error, not an empty binomial
+    # expansion crashing in concatenate (review, round 5)
+    with pytest.raises(ValueError, match="even"):
+        pl_bmu.bmu_norm_p_even(jnp.asarray(x), jnp.asarray(w), p=-2, interpret=True)
+    with pytest.raises(ValueError, match="even"):
+        pl_bmu.bmu_norm_p_even(jnp.asarray(x), jnp.asarray(w), p=0, interpret=True)
 
 
 def test_bmu_norm_p_frac_zero_distance_rows():
@@ -628,3 +634,10 @@ def test_norm_p_odd_dispatch_routing():
     assert kind(2.5) == "norm_p_frac"
     assert kind(3, d=512) is None  # beyond the L1 kernel's D gate
     assert kind(2.5, d=512) is None
+    # zero/negative p: NO kernel (the binomial expansion needs p >= 2,
+    # odd needs p >= 1, frac needs p > 0) — all stay on the XLA path,
+    # which computes them via pow (review, round 5)
+    assert kind(0) is None
+    assert kind(-2) is None
+    assert kind(-3) is None
+    assert kind(-0.5) is None

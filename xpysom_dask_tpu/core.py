@@ -307,7 +307,10 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
             # int() truncation without the is_integer() guard would
             # silently dispatch a fractional p to the wrong metric
             ip = int(p)
-            if ip % 2 == 0 and d_dim * (ip + 1) <= _PALLAS_MAX_D:
+            # ip >= 2: p=0 and negative even p have no binomial-expansion
+            # kernel (range(p+1) would be empty) — they keep the XLA path,
+            # which computes them fine via pow
+            if ip >= 2 and ip % 2 == 0 and d_dim * (ip + 1) <= _PALLAS_MAX_D:
                 return "norm_p_even"
             # odd p (round 5, VERDICT r4 #7): the elementwise VPU kernel,
             # same D gate as the L1 kernel it extends

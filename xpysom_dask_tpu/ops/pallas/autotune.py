@@ -73,36 +73,48 @@ def _kernel_call(kernel, x, w, mode, tiles, interpret):
         )
     if kernel.startswith("norm_p_odd"):
         # 'norm_p_odd_<p>' (round 5): the odd-p elementwise kernel; p is
-        # static in the kernel so it rides in the name
+        # static in the kernel so it rides in the name. Parse everything
+        # after the fixed prefix — NOT rsplit('_'), which would split
+        # inside a scientific-notation float repr (e.g. '1e-05').
         from .bmu import bmu_norm_p_odd
 
-        p = int(kernel.rsplit("_", 1)[-1]) if kernel[-1].isdigit() else 3
+        suffix = kernel[len("norm_p_odd"):]
+        p = int(suffix[1:]) if suffix.startswith("_") else 3
         return bmu_norm_p_odd(x, w, p=p, tiles=tiles, interpret=interpret)
     if kernel.startswith("norm_p_frac"):
         # 'norm_p_frac_<p>' (round 5 close-out): fractional-p elementwise
-        # kernel, p (a float literal like 1.5) rides in the name
+        # kernel, p (any float repr, incl. '1e-05') rides in the name
         from .bmu import bmu_norm_p_frac
 
-        p = float(kernel.rsplit("_", 1)[-1]) if kernel[-1].isdigit() else 1.5
+        suffix = kernel[len("norm_p_frac"):]
+        p = float(suffix[1:]) if suffix.startswith("_") else 1.5
         return bmu_norm_p_frac(x, w, p=p, tiles=tiles, interpret=interpret)
     return bmu_euclidean(x, w, mode=mode, tiles=tiles, interpret=interpret)
 
 
 @partial(
-    jax.jit, static_argnames=("kernel", "mode", "tiles", "interpret", "inner")
+    jax.jit,
+    static_argnames=("kernel", "mode", "tiles", "interpret", "inner", "consume"),
 )
-def _scanned_kernel(kernel, x, w, mode, tiles, interpret, inner):
+def _scanned_kernel(kernel, x, w, mode, tiles, interpret, inner, consume="val"):
     """Run the kernel ``inner`` times inside one dispatch. The carry is
     threaded through the input as a numerically-negligible perturbation
     (±1e-30 · x) purely so each iteration DEPENDS on the last — a
     loop-invariant body would let XLA hoist the kernel out of the scan
-    and time a single execution."""
+    and time a single execution.
+
+    ``consume`` picks which kernel output feeds the carry: ``'val'``
+    (autotune default) or ``'idx'`` — the training path consumes only
+    indices, so ``bench.py``'s BMU-throughput metric times the
+    idx-consuming program (the shared harness exists so the
+    anti-hoisting trick cannot drift between the two callers)."""
 
     def body(c, _):
         idx, val = _kernel_call(
             kernel, x * (1.0 + c), w, mode, tiles, interpret
         )
-        return jnp.float32(1e-30) * jnp.tanh(jnp.sum(val)), (idx[0], val[0])
+        z = jnp.sum(idx.astype(jnp.float32)) if consume == "idx" else jnp.sum(val)
+        return jnp.float32(1e-30) * jnp.tanh(z), (idx[0], val[0])
 
     c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
     return c

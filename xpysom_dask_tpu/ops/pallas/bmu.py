@@ -1242,9 +1242,12 @@ def bmu_norm_p_even(
     the centering vector — pass the GLOBAL codebook mean on sharded
     codebooks so per-shard min values stay comparable in pmin merges."""
     # accept integer-VALUED floats (p=4.0) like the odd/frac kernels —
-    # a float p would otherwise die in range(p+1) below (review, round 5)
-    if not float(p).is_integer() or int(p) % 2 != 0:
-        raise ValueError("p must be even")
+    # a float p would otherwise die in range(p+1) below (review, round 5);
+    # p < 2 (zero/negative even) has no binomial expansion at all — the
+    # dispatch gate keeps those on the XLA path, and a direct caller gets
+    # a real error instead of an empty-concatenate crash
+    if not float(p).is_integer() or int(p) % 2 != 0 or int(p) < 2:
+        raise ValueError("p must be even and >= 2")
     p = int(p)
     if mode == "margin":
         # the margin gate's error envelope S = Σ|φ(x)||ψ(w)| dwarfs the
