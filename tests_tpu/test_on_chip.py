@@ -818,3 +818,33 @@ def test_norm_p_frac_kernel_on_chip(record):
     record("norm_p1.5_qe_kernel", round(qe_k, 6))
     record("norm_p1.5_qe_xla", round(qe_x, 6))
     assert qe_k == pytest.approx(qe_x, rel=1e-3)
+
+def test_norm_p_nonpositive_p_xla_path_on_chip(record):
+    """Review, round 5: zero/negative p must never route to a fused
+    kernel (the binomial expansion needs p >= 2 and used to crash at
+    trace for p=-2 ON TPU ONLY — the CPU suite could not see it). The
+    XLA path computes these via pow; training must run and reduce QE."""
+    from xpysom_dask_tpu.core import _pallas_bmu_kind
+    from xpysom_dask_tpu.ops.distances import DistanceFunction
+
+    for p in (0, -2, -3, -0.5):
+        assert _pallas_bmu_kind(
+            DistanceFunction("norm_p", {"p": p}), 16, use_pallas=True
+        ) is None, p
+
+    rng = np.random.RandomState(68)
+    data = np.concatenate(
+        [c + 0.2 * rng.randn(256, 8) for c in rng.rand(3, 8) * 4]
+    ).astype(np.float32)
+    som = XPySom(
+        8, 8, 8, sigma=2.0, random_seed=9,
+        activation_distance="norm_p", activation_distance_kwargs={"p": -2},
+    )
+    qe0 = float(som.quantization_error(data))
+    som.train(data, 4)
+    qe1 = float(som.quantization_error(data))
+    record("norm_p_neg2_qe_before", round(qe0, 6))
+    record("norm_p_neg2_qe_after", round(qe1, 6))
+    # p=-2 rewards LARGE per-dim gaps being rare; training toward the
+    # winners still reduces the quantization objective it optimizes
+    assert qe1 < qe0
