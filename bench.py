@@ -240,7 +240,7 @@ def main():
             inner_hi = int(os.environ["XSOM_BENCH_SEARCH_INNER"])
             inner_lo = max(1, inner_hi // 5)
         med = {}
-        for inner in (inner_lo, inner_hi):
+        for inner in {inner_lo, inner_hi}:
             run(inner)  # warmup/compile
             ts = []
             for _ in range(3):
@@ -248,7 +248,13 @@ def main():
                 run(inner)
                 ts.append(time.perf_counter() - t0)
             med[inner] = min(ts)
-        per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)
+        if inner_hi > inner_lo:
+            per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)
+        else:
+            # degenerate depth (XSOM_BENCH_SEARCH_INNER=1): no slope is
+            # possible — dispatch-inclusive estimate, like the headline
+            # metric's 'direct' fallback
+            per_exec = med[inner_hi] / inner_hi
         searches_per_sec = sn / per_exec if per_exec > 0 else None
         rate_s = (
             f"{searches_per_sec:,.0f}" if searches_per_sec else "n/a (slope<=0)"
@@ -278,6 +284,10 @@ def main():
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        # the error detail stays on stderr: the JSON line keeps the
+        # documented 4-key metric shape (tests/test_driver_contract.py)
+        print(f"BMU search metric failed: {type(e).__name__}: {e}"[:500],
+              file=sys.stderr)
         print(
             json.dumps(
                 {
@@ -285,7 +295,6 @@ def main():
                     "value": None,
                     "unit": BMU_UNIT,
                     "vs_baseline": None,
-                    "error": f"{type(e).__name__}: {e}"[:500],
                 }
             )
         )

@@ -16,7 +16,12 @@ from xpysom_dask_tpu.core import chunk_data
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_one_json_line():
+# search_inner=1 is the degenerate smoke shrink: no slope is possible
+# (inner_lo == inner_hi), so metric 2 must fall back to the
+# dispatch-inclusive estimate and still honor the 4-key contract
+# (review, round 5)
+@pytest.mark.parametrize("search_inner", [None, "1"])
+def test_bench_emits_one_json_line(search_inner):
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -26,7 +31,10 @@ def test_bench_emits_one_json_line():
         XSOM_BENCH_N="2048",
         XSOM_BENCH_CHUNK="256",
         XSOM_BENCH_EPOCHS="2",
+        XSOM_BENCH_SEARCH_N="512",
     )
+    if search_inner is not None:
+        env["XSOM_BENCH_SEARCH_INNER"] = search_inner
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,

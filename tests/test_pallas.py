@@ -230,6 +230,22 @@ def test_pallas_bmu_kind_gating(monkeypatch):
     assert kind(DistanceFunction("norm_p", {"p": 2.5}), 16) == "norm_p_frac"
     assert kind(DistanceFunction("norm_p", {"p": 2.5}), 512) is None
     assert kind(DistanceFunction("norm_p", {"p": -0.5}), 16) is None
+    # trace-time unroll budget (review, round 5): the elementwise kernels
+    # unroll ~d·(p+1) ops per tile step, so a huge p must fall back to
+    # the XLA pow path even at small D — otherwise the remote Mosaic
+    # compile blows up on a D·p-length multiply chain
+    budget = core._ELEMENTWISE_UNROLL_BUDGET
+    assert kind(DistanceFunction("norm_p", {"p": 101}), 64) is None
+    assert kind(DistanceFunction("norm_p", {"p": 50.5}), 64) is None
+    p_fit = budget // 64 - 1  # largest odd p inside the budget at D=64
+    if p_fit % 2 == 0:
+        p_fit -= 1
+    assert kind(DistanceFunction("norm_p", {"p": p_fit}), 64) == "norm_p_odd"
+    assert (
+        kind(DistanceFunction("norm_p", {"p": p_fit + 0.5}), 64)
+        == "norm_p_frac"
+    )
+    assert kind(DistanceFunction("norm_p", {"p": p_fit + 2}), 64) is None
     assert kind(DistanceFunction("euclidean_no_opt"), 16) is None
     # kill switch: resolved at SPEC CONSTRUCTION (the one env boundary,
     # SomSpec.__post_init__), threaded into the gate as use_pallas=False —
@@ -609,6 +625,23 @@ def test_bmu_norm_p_frac_rsqrt_hook_masks_correctly():
     np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_r[:3]), [7, 8, 9])
+
+
+def test_elementwise_kernels_reject_over_budget_p():
+    """Direct kernel callers hit the same trace-time unroll budget the
+    dispatch gate enforces (shared constant — review, round 5): a huge
+    static p must raise instead of unrolling a D·p multiply chain into
+    the Mosaic compile."""
+    from xpysom_dask_tpu import core
+    from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
+
+    assert pl_bmu.ELEMENTWISE_UNROLL_BUDGET is core._ELEMENTWISE_UNROLL_BUDGET
+    x = jnp.zeros((8, 64), jnp.float32)
+    w = jnp.zeros((4, 64), jnp.float32)
+    with pytest.raises(ValueError, match="budget"):
+        pl_bmu.bmu_norm_p_odd(x, w, p=101, interpret=True)
+    with pytest.raises(ValueError, match="budget"):
+        pl_bmu.bmu_norm_p_frac(x, w, p=50.5, interpret=True)
 
 
 def test_norm_p_odd_dispatch_routing():

@@ -276,6 +276,15 @@ _PALLAS_MAX_D = 2048
 _PALLAS_MANHATTAN_MAX_D = 256
 
 
+# Trace-time op budget for the elementwise L^p kernels: their bodies
+# unroll ~d·(p+1) vector ops per tile step (the D loop times the p-power
+# multiply chain), so an unbounded p would blow up the traced program and
+# the remote Mosaic compile even at small D (review, round 5). Mirrors
+# the even-p gate's d·(p+1) feature-width bound; beyond it the XLA path
+# computes the same metric through a single pow HLO.
+_ELEMENTWISE_UNROLL_BUDGET = 2048
+
+
 def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
     """Which fused Pallas BMU kernel (if any) serves this activation on
     the current backend: 'euclidean' / 'cosine' (augmented-GEMM kernel;
@@ -313,10 +322,23 @@ def _pallas_bmu_kind(dist: DistanceFunction, d_dim: int, use_pallas=None):
             if ip >= 2 and ip % 2 == 0 and d_dim * (ip + 1) <= _PALLAS_MAX_D:
                 return "norm_p_even"
             # odd p (round 5, VERDICT r4 #7): the elementwise VPU kernel,
-            # same D gate as the L1 kernel it extends
-            if ip % 2 == 1 and ip >= 1 and d_dim <= _PALLAS_MANHATTAN_MAX_D:
+            # same D gate as the L1 kernel it extends, plus the trace-time
+            # unroll budget (the kernel body is d·(p+1) unrolled vector
+            # ops — an unbounded p would hang the remote Mosaic compile)
+            if (
+                ip % 2 == 1
+                and ip >= 1
+                and d_dim <= _PALLAS_MANHATTAN_MAX_D
+                and d_dim * (ip + 1) <= _ELEMENTWISE_UNROLL_BUDGET
+            ):
                 return "norm_p_odd"
-        elif float(p) > 0 and d_dim <= _PALLAS_MANHATTAN_MAX_D:
+        elif (
+            float(p) > 0
+            and d_dim <= _PALLAS_MANHATTAN_MAX_D
+            # the frac kernel unrolls d·(⌊p⌋+3)-ish ops (⌊p⌋ muls + the
+            # transcendental remainder per dim) — same budget as odd
+            and d_dim * (int(float(p)) + 1) <= _ELEMENTWISE_UNROLL_BUDGET
+        ):
             # fractional p (round 5 close-out): the exp/log elementwise
             # kernel — same pow-lowering identity as the XLA broadcast
             # path, so fidelity class is unchanged and only the
@@ -393,18 +415,21 @@ def _bmu_chunk(dist: DistanceFunction, x, w_flat, w_sq, spec=None):
         from .ops.pallas.bmu import bmu_norm_p_odd
 
         # exact f32 elementwise kernel — precision modes don't apply
-        # (like the L1 kernel); the win is the O(N) transient envelope
+        # (like the L1 kernel); the win is the O(N) transient envelope.
+        # No default: the gate routes here only when kwargs carry an odd
+        # p (a .get default of 2 would be one the kernel itself rejects)
         idx, _ = bmu_norm_p_odd(
-            x, w_flat, p=int(dist.kwargs.get("p", 2)), tiles=tiles
+            x, w_flat, p=int(dist.kwargs["p"]), tiles=tiles
         )
         return idx
     if kind == "norm_p_frac":
         from .ops.pallas.bmu import bmu_norm_p_frac
 
         # same fidelity class as the XLA pow lowering (both go through
-        # exp(frac·log t)); the win is the O(N) transient envelope
+        # exp(frac·log t)); the win is the O(N) transient envelope.
+        # No default: the gate routes here only for non-integer p
         idx, _ = bmu_norm_p_frac(
-            x, w_flat, p=float(dist.kwargs.get("p", 2)), tiles=tiles
+            x, w_flat, p=float(dist.kwargs["p"]), tiles=tiles
         )
         return idx
     d = dist.flat(x, w_flat, w_sq)
@@ -809,6 +834,16 @@ def te_uses_fused(spec: "SomSpec") -> bool:
     )
 
 
+def te_fused_mode(spec: "SomSpec") -> str:
+    """Precision mode for TE's fused top-2 kernel. TE's search is
+    exact-by-contract like training's: map the non-GEMM precision modes
+    onto the exact packed split (margin exists to BE exact; split3 /
+    highest are exact by other means), keep bf16 opt-in. Single source
+    of truth for the single-device and 2-D grid-mesh TE paths (review,
+    round 5)."""
+    return "bf16" if spec.bmu_precision == "bf16" else "packed"
+
+
 @lru_cache(maxsize=64)
 def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     """Compile topographic-error statistics:
@@ -835,10 +870,7 @@ def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
     yy = jnp.asarray(yy_np, _F32)
 
     use_fused = te_uses_fused(spec)
-    # TE's search is exact-by-contract like training's: map the non-GEMM
-    # precision modes onto the exact packed split (margin exists to BE
-    # exact; split3/highest are exact by other means), keep bf16 opt-in
-    fused_mode = "bf16" if spec.bmu_precision == "bf16" else "packed"
+    fused_mode = te_fused_mode(spec)
 
     def run(w, data, mask):
         w_flat = w.reshape(xy, spec.input_len)

@@ -787,7 +787,7 @@ class SomPopulation:
         verbose,
         checkpoint_path,
         checkpoint_every,
-        stats_impl="fused",
+        stats_impl,
     ):
         """Out-of-core sweep: per epoch, fold per-member sufficient
         statistics over streamed superbatches then apply one vmapped
@@ -795,9 +795,11 @@ class SomPopulation:
         ``parallel.pipeline.train_streaming``, sharing its fold loop
         (and thus the multi-host superbatch synchronization) via
         ``stats_streaming(stats_fn=...)``. ``stats_impl`` picks the
-        per-superbatch program: 'fused' (default — lax.map over members
-        with the fused single-model body; one pass, one dispatch per
-        superbatch, the measured winner) or 'concat' (the concatenated-
+        per-superbatch program (no default: ``train()``'s 'auto' routing
+        owns the measured fused/concat crossover — review, round 5):
+        'fused' (lax.map over members with the fused single-model body;
+        one pass, one dispatch per superbatch, the measured winner below
+        the ~24k-node crossover) or 'concat' (the concatenated-
         codebook GEMM)."""
         from ..parallel.pipeline import (
             ArraySource,

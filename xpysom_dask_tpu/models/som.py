@@ -504,11 +504,13 @@ class XPySom:
             d_eff = self._input_len * (p + 1)
             kwargs.setdefault("mode", self._bmu_precision)
         elif kind == "norm_p_odd":
-            p = int(self._activation_distance_kwargs.get("p", 3))
+            # no default: the dispatch gate routes these kinds only when
+            # kwargs carry a p of the right class (review, round 5)
+            p = int(self._activation_distance_kwargs["p"])
             kwargs.setdefault("kernel", f"norm_p_odd_{p}")
             kwargs.setdefault("mode", None)  # exact f32, no precision modes
         elif kind == "norm_p_frac":
-            p = float(self._activation_distance_kwargs.get("p", 1.5))
+            p = float(self._activation_distance_kwargs["p"])
             kwargs.setdefault("kernel", f"norm_p_frac_{p}")
             kwargs.setdefault("mode", None)  # no precision modes
         else:

@@ -103,6 +103,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.envflags import env_flag
 
+# single source of truth with the dispatch gate (core._pallas_bmu_kind):
+# sharing the constant means the gate's routing bound and the kernels'
+# own guard cannot drift (review, round 5). core never imports this
+# module at top level, so the import is cycle-free.
+from ...core import _ELEMENTWISE_UNROLL_BUDGET as ELEMENTWISE_UNROLL_BUDGET
+
 # Re-measurement hook (VERDICT r2 #5, measured NEUTRAL round 3 — see the
 # dimension_semantics note in bmu_euclidean): read ONCE at import so the
 # hook stays usable for per-process experiments (tools/r3_dimsem.py sets
@@ -1067,6 +1073,23 @@ def bmu_manhattan(x, w_flat, *, interpret=False, tiles=None, accum="serial"):
     )
 
 
+def _check_unroll_budget(d_dim: int, p_int: int):
+    """Guard the elementwise L^p wrappers against a trace-time blowup:
+    their kernel bodies unroll ~d·(p+1) vector ops per tile step (the D
+    loop times the p-power multiply chain), so a huge static ``p`` would
+    hang the remote Mosaic compile. Shares the dispatch gate's constant
+    (imported from ``core._ELEMENTWISE_UNROLL_BUDGET``) so the gate and
+    the kernels cannot drift: dispatched calls never trip this — it
+    exists for direct kernel callers (review, round 5)."""
+    if d_dim * (p_int + 1) > ELEMENTWISE_UNROLL_BUDGET:
+        raise ValueError(
+            f"d={d_dim}, p={p_int}: kernel body would unroll "
+            f"d*(p+1)={d_dim * (p_int + 1)} ops per tile step, over the "
+            f"{ELEMENTWISE_UNROLL_BUDGET}-op trace-time budget; use the "
+            "XLA pow path for this (d, p)"
+        )
+
+
 def _kernel_lp_odd_argmin(
     x_ref,
     wt_ref,
@@ -1124,6 +1147,7 @@ def bmu_norm_p_odd(x, w_flat, p=3, *, interpret=False, tiles=None):
     if not float(p).is_integer() or p < 1 or int(p) % 2 == 0:
         raise ValueError(f"p={p} must be a positive odd integer")
     p = int(p)
+    _check_unroll_budget(x.shape[-1], p)
     # L1 kernel's measured default tile; the same VMEM envelope holds
     return _elementwise_bmu_call(
         partial(_kernel_lp_odd_argmin, p=p), x, w_flat, tiles, interpret
@@ -1214,6 +1238,7 @@ def bmu_norm_p_frac(x, w_flat, p=1.5, *, interpret=False, tiles=None):
             f"p={p} must be a positive non-integer (odd/even integer p "
             "ride bmu_norm_p_odd / bmu_norm_p_even)"
         )
+    _check_unroll_budget(x.shape[-1], int(p))
     return _elementwise_bmu_call(
         partial(_kernel_lp_frac_argmin, p=p), x, w_flat, tiles, interpret
     )

@@ -166,18 +166,21 @@ def _local_min_arg(dist: DistanceFunction, x, w_local, w_sq, center=None, spec=N
         from ..ops.pallas.bmu import bmu_norm_p_odd
 
         # exact f32 elementwise values, absolute like L1 — comparable
-        # across shards without a center
+        # across shards without a center. No default: the gate routes
+        # here only when kwargs carry an odd p (a .get default of 2
+        # would be one the kernel itself rejects)
         idx, val = bmu_norm_p_odd(
-            x, w_local, p=int(dist.kwargs.get("p", 2)), tiles=tiles
+            x, w_local, p=int(dist.kwargs["p"]), tiles=tiles
         )
         return val, idx
     if kind == "norm_p_frac":
         from ..ops.pallas.bmu import bmu_norm_p_frac
 
         # absolute p-th-power values like L1/odd-p — comparable across
-        # shards without a center
+        # shards without a center. No default: the gate routes here
+        # only for non-integer p
         idx, val = bmu_norm_p_frac(
-            x, w_local, p=float(dist.kwargs.get("p", 2)), tiles=tiles
+            x, w_local, p=float(dist.kwargs["p"]), tiles=tiles
         )
         return val, idx
     d_local = dist.flat(x, w_local, w_sq)
@@ -444,7 +447,7 @@ def make_topographic_stats_fn_2d(spec: SomSpec, mesh: Mesh):
     N=65536): fused 1.14 M samples/s vs fallback 0.755 M — 1.51×, TE
     bit-equal. The r4 rationale for keeping the fallback unfused
     ("cross-shard merge complexity") is hereby superseded by evidence."""
-    from ..core import _pallas_bmu_kind, grid_coordinates
+    from ..core import _pallas_bmu_kind, grid_coordinates, te_fused_mode
 
     n_model = mesh.shape[MODEL_AXIS]
     rows = _local_rows(spec, n_model)
@@ -463,10 +466,7 @@ def make_topographic_stats_fn_2d(spec: SomSpec, mesh: Mesh):
     use_fused = (
         _pallas_bmu_kind(eucl, spec.input_len, spec.use_pallas) == "euclidean"
     )
-    # TE's search is exact-by-contract like training's (core.
-    # make_topographic_stats_fn): map non-GEMM precision modes onto the
-    # exact packed split, keep bf16 opt-in
-    fused_mode = "bf16" if spec.bmu_precision == "bf16" else "packed"
+    fused_mode = te_fused_mode(spec)
     xx_np, yy_np = grid_coordinates(spec.x, spec.y, spec.topology)
     xx = jnp.asarray(xx_np, _F32)
     yy = jnp.asarray(yy_np, _F32)
