@@ -627,6 +627,21 @@ def test_population_streaming_fused_and_batched_parity(tmp_path):
     )
 
 
+def test_population_streaming_auto_gate_routes_measured_rows():
+    """The streaming-'auto' gate routes every on-chip measured row
+    (tools/r5_results.jsonl, 24×24×16 maps) to its winner-or-tie: fused
+    wins 1.06–1.35× at 2.3k–18.4k, ties at 23.0k, wins AGAIN 1.26×/1.19×
+    at 27.6k/32.3k (non-monotone — batched's block-argmin tiling), and
+    loses only at 36.9k. The true crossover is pinned in (32.3k, 36.9k)."""
+    from xpysom_dask_tpu.models.population import _streaming_auto_impl
+
+    # fused-side rows: P ∈ {4, 16, 32, 40, 48, 56} of 24×24 maps
+    for p in (4, 16, 32, 40, 48, 56):
+        assert _streaming_auto_impl(p * 24 * 24) == "fused"
+    # batched-side row: P=64 (36,864 nodes, batched measured 1.19× faster)
+    assert _streaming_auto_impl(64 * 24 * 24) == "concat"
+
+
 def test_population_fused_mesh_matches_single_device():
     """'fused' under a data mesh: shard_map + psum over the lax.map
     program equals the unsharded one."""

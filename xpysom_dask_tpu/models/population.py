@@ -84,16 +84,26 @@ __all__ = ["SomPopulation"]
 
 _F32 = jnp.float32
 
-# Streaming-'auto' routing gate (round 5, tools/r5_results.jsonl): the
-# fused lax.map-over-members program beat the concatenated GEMM 1.31–1.35×
-# at P·XY ∈ {2.3k, 9.2k} stacked nodes and still 1.06× at 18.4k, but lost
-# (0.84×) at 36.9k, where the concatenated GEMM finally fills the MXU
-# while lax.map pays P sequential small-kernel passes. The crossover is
-# bracketed in (18.4k, 36.9k); 24k sits inside the bracket and routes
-# every measured row to its winner. Model-selection sweeps live far below
-# it (P=16 of 24×24 maps = 9.2k), so 'auto' rides the fused program in
-# practice.
-_FUSED_STREAM_MAX_NODES = 24576
+# Streaming-'auto' routing gate (round 5, tools/r5_results.jsonl — seven
+# on-chip rows at 24×24×16 maps): the fused lax.map-over-members program
+# beat the concatenated GEMM 1.31–1.35× at P·XY ∈ {2.3k, 9.2k} stacked
+# nodes, 1.06× at 18.4k, tied (0.99×) at 23.0k, then won AGAIN at 27.6k
+# (1.26×) and 32.3k (1.19×), losing only at 36.9k (0.84×), where the
+# concatenated GEMM finally fills the MXU while lax.map pays P sequential
+# small-kernel passes. The fused program's cost is perfectly linear
+# (~2.0 ms/member across every row); the non-monotone ratio is batched's
+# per-member cost swinging with how P·XY tiles its block argmin. The true
+# crossover sits in (32.3k, 36.9k); 32,768 routes every measured row to
+# its winner or within-noise tie (the 23.0k tie costs ≤1%).
+# Model-selection sweeps live far below it (P=16 of 24×24 maps = 9.2k),
+# so 'auto' rides the fused program in practice.
+_FUSED_STREAM_MAX_NODES = 32768
+
+
+def _streaming_auto_impl(total_nodes):
+    """Streaming ``strategy='auto'`` program choice for a ``total_nodes``
+    = P·X·Y stacked codebook (gate rationale above)."""
+    return "fused" if total_nodes <= _FUSED_STREAM_MAX_NODES else "concat"
 
 
 def _pop_decays(specs, t, num_epochs):
@@ -584,7 +594,7 @@ class SomPopulation:
           pass underfills the MXU.
         - ``'auto'`` (default): ``'serial'`` for resident data; for
           streaming sources ``'fused'`` while the stacked codebook is
-          ≤ ~24k nodes, else ``'batched'`` (the measured crossover — at
+          ≤ 32k nodes, else ``'batched'`` (the measured crossover — at
           ~37k stacked nodes the concatenated GEMM fills the MXU and
           wins, BASELINE.md round 5).
 
@@ -632,11 +642,13 @@ class SomPopulation:
                 impl = "fused"
             else:
                 # 'auto' (round 5, BASELINE.md): the fused lax.map program
-                # won 1.3× at P·XY ≤ ~9.2k nodes but the concatenated GEMM
-                # finally fills the MXU at ~37k (0.84×) — route by the
-                # stacked-codebook size with the measured crossover gate
-                total_nodes = self._n_members * self._x * self._y
-                impl = "fused" if total_nodes <= _FUSED_STREAM_MAX_NODES else "concat"
+                # won or tied every measured row up to 32.3k stacked
+                # nodes; the concatenated GEMM finally fills the MXU at
+                # ~37k (0.84×) — route by the stacked-codebook size with
+                # the measured crossover gate
+                impl = _streaming_auto_impl(
+                    self._n_members * self._x * self._y
+                )
             return self._train_streaming(
                 data, num_epochs, iter_beg, iter_end, verbose,
                 checkpoint_path, checkpoint_every, stats_impl=impl,
@@ -799,7 +811,7 @@ class SomPopulation:
         owns the measured fused/concat crossover — review, round 5):
         'fused' (lax.map over members with the fused single-model body;
         one pass, one dispatch per superbatch, the measured winner below
-        the ~24k-node crossover) or 'concat' (the concatenated-
+        the ~32k-node crossover) or 'concat' (the concatenated-
         codebook GEMM)."""
         from ..parallel.pipeline import (
             ArraySource,
