@@ -146,6 +146,20 @@ def main():
     )
     print(f"MULTIHOST_GRID_STREAM_OK pid={pid}", flush=True)
 
+    # --- round 5: resident inference over the multi-host mesh ------------
+    # predict/winner return per-row outputs sharded P('data') across
+    # processes; the np.asarray boundary must gather them onto every host
+    # (review finding: it raised on non-addressable arrays before).
+    from xpysom_dask_tpu import XPySom
+
+    som_mesh = XPySom(6, 5, 4, sigma=2.0, random_seed=7, mesh=mesh)
+    som_one = XPySom(6, 5, 4, sigma=2.0, random_seed=7)  # same codebook
+    pred_mesh = som_mesh.predict(full)
+    pred_one = som_one.predict(full)
+    np.testing.assert_array_equal(pred_mesh, pred_one)
+    assert som_mesh.winner(full[:3]) == som_one.winner(full[:3])
+    print(f"MULTIHOST_INFER_OK pid={pid}", flush=True)
+
     print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
     jax.distributed.shutdown()
 

@@ -60,3 +60,6 @@ def test_two_process_psum_matches_single():
         # on both the 1-D data mesh and the 2-D (data, model) mesh
         assert "MULTIHOST_STREAM_OK" in out, out
         assert "MULTIHOST_GRID_STREAM_OK" in out, out
+        # round 5: resident predict/winner gather their P('data')-sharded
+        # outputs onto every host instead of raising on np.asarray
+        assert "MULTIHOST_INFER_OK" in out, out

@@ -322,3 +322,176 @@ def test_epoch_anatomy_public_api():
     assert abs(
         out["bmu_ms"] + out["scatter_ms"] + out["update_ms"] - out["epoch_ms"]
     ) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-5 tail review findings
+# ---------------------------------------------------------------------------
+
+
+def test_norm_p_negative_even_p_routes_generic():
+    """p=-2 satisfies ``p % 2 == 0`` but has no binomial expansion
+    (``range(p+1)`` is empty — the dispatcher used to return an all-zeros
+    "distance" silently); it must ride the generic pow path."""
+    from xpysom_dask_tpu.ops import distances as D
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(6, 5).astype(np.float32) + 0.5)
+    w = jnp.asarray(rng.rand(7, 5).astype(np.float32) + 0.5)
+    got = np.asarray(D.norm_p_power_distance(x, w, p=-2))
+    want = np.asarray(D.norm_p_power_distance_generic(x, w, p=-2))
+    assert np.all(want > 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    with pytest.raises(ValueError):
+        D.norm_p_power_distance_even(x, w, p=-2)
+    with pytest.raises(ValueError):
+        D.norm_p_power_distance_even(x, w, p=0)
+
+
+def test_split2_raw_wsq_wrappers_match_highest():
+    """The cosine and even-p norm_p wrappers ride bmu_euclidean with a
+    SEMANTIC-zero ``w_sq``; split2 must honor it (``w_sq_raw=True``)
+    instead of substituting its self-consistent rounded-codebook norm —
+    which is only a valid replacement for the euclidean ``Σw²``."""
+    from xpysom_dask_tpu.ops.pallas.bmu import bmu_cosine, bmu_norm_p_even
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(((rng.rand(64, 16) - 0.5) * 4).astype(np.float32))
+    w = jnp.asarray(((rng.rand(32, 16) - 0.5) * 4).astype(np.float32))
+    for fn, kw in ((bmu_cosine, {}), (bmu_norm_p_even, {"p": 4})):
+        i_hi, _ = fn(x, w, interpret=True, mode="highest", **kw)
+        i_s2, _ = fn(x, w, interpret=True, mode="split2", **kw)
+        np.testing.assert_array_equal(np.asarray(i_s2), np.asarray(i_hi))
+
+
+def test_split2_raw_wsq_honors_caller_w_sq():
+    """Direct-kernel pin of the mechanism: with ``w_sq=0`` and codebook
+    rows of wildly different norms, raw split2 must rank by the pure dot
+    (matching 'highest', which always honors ``w_sq``), while the
+    non-raw branch's substituted ``¼·Σ(w_h)²`` bias changes winners."""
+    from xpysom_dask_tpu.ops.pallas.bmu import bmu_euclidean
+
+    rng = np.random.RandomState(3)
+    w_np = ((rng.rand(24, 8) - 0.5) * 2).astype(np.float32)
+    w_np *= (10.0 ** rng.randint(0, 3, size=(24, 1))).astype(np.float32)
+    x = jnp.asarray(((rng.rand(48, 8) - 0.5) * 2).astype(np.float32))
+    w = jnp.asarray(w_np)
+    zeros = jnp.zeros((24, 1), jnp.float32)
+    i_hi, _ = bmu_euclidean(x, w, zeros, interpret=True, mode="highest")
+    i_raw, _ = bmu_euclidean(
+        x, w, zeros, interpret=True, mode="split2", w_sq_raw=True
+    )
+    i_old, _ = bmu_euclidean(
+        x, w, zeros, interpret=True, mode="split2", w_sq_raw=False
+    )
+    np.testing.assert_array_equal(np.asarray(i_raw), np.asarray(i_hi))
+    # the substituted norm is a real per-node bias on these inputs
+    assert np.any(np.asarray(i_old) != np.asarray(i_hi))
+
+
+def test_streaming_chunk_aligned_to_sample_tile(monkeypatch):
+    """Streaming training must apply the SAME 1024-tile chunk alignment
+    as the resident path (utils.hw.training_chunk) — an unaligned chunk
+    (e.g. a raw auto n_parallel of 1792) forces an in-graph pad per scan
+    step, the measured >100 s Mosaic/XLA compile pathology."""
+    import xpysom_dask_tpu.parallel.pipeline as pl
+    from xpysom_dask_tpu.core import SomSpec
+    from xpysom_dask_tpu.models.population import SomPopulation
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    captured = []
+    real = pl.stats_streaming
+
+    def spy(spec, w, source, chunk, superbatch_rows, mesh=None, stats_fn=None):
+        captured.append(chunk)
+        return real(
+            spec, w, source, chunk, superbatch_rows, mesh, stats_fn=stats_fn
+        )
+
+    monkeypatch.setattr(pl, "stats_streaming", spy)
+    rng = np.random.RandomState(0)
+    data = rng.rand(96, 4).astype(np.float32)
+    spec = SomSpec(x=4, y=4, input_len=4, sigma=2.0, sigmaN=1.0,
+                   learning_rate=0.5, learning_rateN=0.01)
+    w0 = rng.rand(4, 4, 4).astype(np.float32)
+    pl.train_streaming(
+        spec, w0, ArraySource(data), 1, chunk=1792, superbatch_rows=4096
+    )
+    assert captured[-1] == 1024
+    # small explicit chunks pass through unchanged (tests rely on them)
+    pl.train_streaming(
+        spec, w0, ArraySource(data), 1, chunk=16, superbatch_rows=64
+    )
+    assert captured[-1] == 16
+
+    # the population streaming path (default 'auto' -> fused) shares it
+    pop = SomPopulation(2, 4, 4, 4, sigma=2.0, random_seed=0, n_parallel=1792)
+    pop.train(ArraySource(data), 1)
+    assert captured[-1] == 1024
+
+
+def test_empty_input_contract_resident():
+    """Resident QE/TE warn and return NaN on zero rows (the contract the
+    streaming branches and SomPopulation already document); predict and
+    winner return empty results; wrong-width inputs raise the
+    reference-style ValueError on every inference entry point."""
+    som = XPySom(5, 5, 4, sigma=2.0, random_seed=0)
+    data = np.random.RandomState(0).rand(64, 4).astype(np.float32)
+    som.train(data, 2)
+    empty = np.empty((0, 4), np.float32)
+    with pytest.warns(UserWarning, match="no rows"):
+        assert np.isnan(som.quantization_error(empty))
+    with pytest.warns(UserWarning, match="no rows"):
+        assert np.isnan(som.topographic_error(empty))
+    assert som.predict(empty).shape == (0,)
+    assert som.winner(empty) == []
+    assert som.quantization(empty).shape == (0, 4)
+    wrong = np.zeros((3, 5), np.float32)
+    for f in (som.predict, som.winner, som.activate,
+              som.quantization_error, som.topographic_error):
+        with pytest.raises(ValueError, match="features"):
+            f(wrong)
+    with pytest.raises(ValueError, match="features"):
+        som.quantization_error(np.empty((0, 5), np.float32))
+
+
+def test_legacy_pickle_without_explicit_flags_checkpoints():
+    """Pickles from before the *_explicit kernel-config flags must
+    restore with auto semantics: save_checkpoint and _matrix_chunk read
+    those attributes directly (they raised AttributeError before)."""
+    import os
+    import tempfile
+
+    som = XPySom(5, 5, 4, sigma=2.0, random_seed=0)
+    data = np.random.RandomState(0).rand(64, 4).astype(np.float32)
+    som.train(data, 2)
+    state = dict(som.__getstate__())
+    for k in ("_use_pallas_explicit", "_bmu_precision_explicit",
+              "_bmu_tiles_explicit", "_n_parallel_explicit"):
+        state.pop(k, None)
+    legacy = XPySom.__new__(XPySom)
+    legacy.__setstate__(state)
+    assert legacy._n_parallel_explicit is False
+    assert legacy._matrix_chunk > 0
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "legacy.npz")
+        legacy.save_checkpoint(path)
+        back = XPySom.load_checkpoint(path)
+    np.testing.assert_array_equal(back.get_weights(), som.get_weights())
+    assert back.winner(data[:3]) == som.winner(data[:3])
+
+
+def test_activate_is_chunked_and_matches_whole():
+    """activate() must budget the (N, XY) matrix like its sibling
+    distance_from_weights instead of one unbounded device call; chunked
+    output equals the single-call result exactly."""
+    som_whole = XPySom(5, 5, 4, sigma=2.0, random_seed=0)
+    som_chunked = XPySom(5, 5, 4, sigma=2.0, random_seed=0, n_parallel=8)
+    data = np.random.RandomState(0).rand(30, 4).astype(np.float32)
+    assert som_chunked._matrix_chunk == 8  # forces 4 chunks
+    a = som_chunked.activate(data)
+    b = som_whole.activate(data)
+    assert a.shape == (30, 25)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    # scalar/1-D samples keep working (the planted-fixture probe shape)
+    assert som_whole.activate(np.float32([0.1, 0.2, 0.3, 0.4])).shape == (1, 25)

@@ -839,7 +839,12 @@ class SomPopulation:
             reporter.start()
         n_src = len(source)
         ckpt = bool(checkpoint_every and checkpoint_path)
-        chunk = min(self._n_parallel, superbatch_rows)
+        # shared training-branch sizing (utils.hw.training_chunk): the
+        # 1024-tile alignment matters doubly here — the default 'auto'
+        # fused program runs the Pallas BMU inside lax.map over members,
+        # so an unaligned chunk would pay the per-scan-step in-graph pad
+        # (the measured >100 s compile pathology) P times over
+        chunk = training_chunk(superbatch_rows, self._n_parallel)
         for t in range(iter_beg, iter_end):
             s, cnt = stats_streaming(
                 spec0, w, source, chunk, superbatch_rows, self._mesh,

@@ -583,13 +583,24 @@ class XPySom:
         neuron j to sample n. For the default 'euclidean' this is the
         *partial* squared distance (argmin-equivalent; reference
         xpysom.py:323-354, distances.py:163)."""
-        x2d = np.atleast_2d(_as_numpy_2d(x))
+        x2d = np.atleast_2d(_as_numpy_2d(x)).astype(np.float32, copy=False)
+        self._check_input_len(x2d)
         dist = self._spec.distance_fn()
-        w_flat = np.asarray(self._weights, dtype=np.float32).reshape(
+        w_host = np.asarray(self._weights, dtype=np.float32).reshape(
             -1, self._input_len
         )
-        out = dist.flat(jnp.asarray(x2d), jnp.asarray(w_flat))
-        return np.asarray(out)
+        w_flat = jnp.asarray(w_host)
+        # the (N, XY) result materializes on device per chunk — budget it
+        # like the sibling matrix-materializing path
+        # (distance_from_weights); eager like before (a fresh
+        # DistanceFunction per call would defeat jit's identity cache)
+        n, xy = x2d.shape[0], w_host.shape[0]
+        out = np.empty((n, xy), dtype=np.float32)
+        step = self._matrix_chunk
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            out[s:e] = np.asarray(dist.flat(jnp.asarray(x2d[s:e]), w_flat))
+        return out
 
     def _winner_flat(
         self, data2d: np.ndarray, spec: SomSpec = None, w=None
@@ -598,6 +609,11 @@ class XPySom:
         their per-superbatch iteration (re-putting a 512x512x64 codebook
         per ~256 MB block is pure wasted transfer)."""
         spec = spec or self._spec
+        self._check_input_len(data2d)
+        if data2d.shape[0] == 0:
+            # mirrors streaming predict's exhausted-source result; also
+            # serves winner([]) -> [] and quantization(empty) -> empty
+            return np.empty(0, dtype=np.int64)
         chunks, _, n = self._chunked(data2d, bucket=True)
         if self._is_grid_mesh():
             from ..parallel.grid_sharded import make_bmu_fn_2d
@@ -606,6 +622,15 @@ class XPySom:
         else:
             bmu_fn = core.make_bmu_fn(spec, self._mesh)
         bmu = bmu_fn(self._device_weights() if w is None else w, chunks)
+        if jax.process_count() > 1 and self._mesh is not None:
+            # the per-row output is sharded over 'data' across PROCESSES
+            # (out_specs=P('data')) — np.asarray on a non-addressable
+            # array raises; gather the full result onto every host (this
+            # is the supported multi-host inference path, see
+            # _guard_multihost_streaming_inference)
+            from jax.experimental import multihost_utils
+
+            bmu = multihost_utils.process_allgather(bmu, tiled=True)
         return np.asarray(bmu).reshape(-1)[:n]
 
     def winner(self, x):
@@ -798,7 +823,13 @@ class XPySom:
     # -- quantization / metrics ----------------------------------------------
 
     def _check_input_len(self, data):
-        data_len = len(data[0])
+        # empty batches carry their width in the shape (data[0] would
+        # IndexError); width-validate them too so the empty-input
+        # contracts below still reject wrong-width empties
+        if getattr(data, "ndim", 0) >= 2:
+            data_len = data.shape[-1]
+        else:
+            data_len = len(data[0])
         if self._input_len != data_len:
             msg = "Received %d features, expected %d." % (data_len, self._input_len)
             raise ValueError(msg)
@@ -888,6 +919,12 @@ class XPySom:
             return tot / n
         data2d = np.atleast_2d(_as_numpy_2d(data))
         self._check_input_len(data2d)
+        if data2d.shape[0] == 0:
+            # the empty-input contract the streaming branch (above) and
+            # SomPopulation.quantization_errors document: warn + NaN, a
+            # mean over nothing — not an exception
+            warn("quantization_error: received no rows.")
+            return float("nan")
         chunks, mask, _ = self._chunked(data2d, bucket=True)
         tot, n = self._qe_fn()(self._device_weights(), chunks, mask)
         return float(tot) / float(n)
@@ -912,6 +949,11 @@ class XPySom:
                 return float("nan")
             return errs / n
         data2d = np.atleast_2d(_as_numpy_2d(data))
+        self._check_input_len(data2d)
+        if data2d.shape[0] == 0:
+            # same empty-input contract as quantization_error
+            warn("topographic_error: received no rows.")
+            return float("nan")
         e, c = self._te_counts(data2d)
         return e / c
 
@@ -1139,6 +1181,15 @@ class XPySom:
             "highest" if self._activation_distance_name == "norm_p" else "packed",
         )
         self.__dict__.setdefault("_bmu_tiles", None)
+        # pickles from before the *_explicit flags existed: treat every
+        # kernel/sizing knob as auto (fresh construction-time resolution
+        # on the loading host — the cross-host portability stance of
+        # utils/serialization._config_dict); save_checkpoint and
+        # _matrix_chunk read these attributes directly
+        self.__dict__.setdefault("_use_pallas_explicit", False)
+        self.__dict__.setdefault("_bmu_precision_explicit", False)
+        self.__dict__.setdefault("_bmu_tiles_explicit", False)
+        self.__dict__.setdefault("_n_parallel_explicit", False)
         try:
             self._mesh = resolve_mesh(self._mesh_arg)
         except Exception:

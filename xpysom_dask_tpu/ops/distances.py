@@ -110,6 +110,12 @@ def norm_p_power_distance_even(x, w, p=2):
     Every term is an MXU matmul."""
     if p % 2 != 0:
         raise ValueError("p must be even")
+    if p < 2:
+        # the expansion's range(p + 1) loop is empty for negative p (an
+        # all-zeros "distance" — silently wrong argmins); the dispatcher
+        # keeps p < 2 on the generic pow path, and a direct caller gets a
+        # real error (mirrors ops.pallas.bmu.bmu_norm_p_even)
+        raise ValueError("p must be even and >= 2")
     # a float integral p (e.g. 2.0) selects this branch via `p % 2 == 0`
     # exactly like the Pallas gate (core._pallas_bmu_kind) — coerce so
     # range(p + 1) works and the XLA fallback matches the kernel path
@@ -128,8 +134,11 @@ def norm_p_power_distance_even(x, w, p=2):
 
 def norm_p_power_distance(x, w, p=2):
     """Norm-p distance raised to the p-th power, choosing the GEMM form for
-    even p (reference distances.py:98-107)."""
-    if p % 2 == 0:
+    even p (reference distances.py:98-107). Zero/negative p stay on the
+    generic pow path — the binomial expansion only exists for p >= 2
+    (for p=-2, ``-2 % 2 == 0`` would otherwise select an empty-loop
+    expansion returning all zeros)."""
+    if p % 2 == 0 and p >= 2:
         return norm_p_power_distance_even(x, w, p)
     return norm_p_power_distance_generic(x, w, p)
 

@@ -609,7 +609,7 @@ def _env_tiles():
     jax.jit,
     static_argnames=(
         "interpret", "mode", "tiles", "finish", "rescue_frac", "dtile",
-        "kblock", "top2",
+        "kblock", "top2", "w_sq_raw",
     ),
 )
 def bmu_euclidean(
@@ -626,6 +626,7 @@ def bmu_euclidean(
     dtile="f32",
     kblock=None,
     top2=False,
+    w_sq_raw=False,
 ):
     """Fused BMU search: returns ``(idx, minval)`` with shapes ``(N,)``
     int32 / ``(N,)`` float32, where ``idx[n] = argmin_j(-2 x_n·w_j + ‖w_j‖²)``
@@ -657,6 +658,14 @@ def bmu_euclidean(
     codebooks over non-origin-centered features). Pass the SAME center on
     every shard when winners are compared across shards (the minval
     output shifts by ``2x·c − ‖c‖²+…``, identically for all w).
+
+    ``w_sq_raw=True`` declares that ``w_sq`` carries caller-defined
+    semantics rather than the euclidean ``Σw²`` of ``w_flat`` (the cosine
+    and norm_p wrappers ride this kernel with a semantic-zero ``w_sq``).
+    The 'split2' mode then splits the given operand exactly (like
+    'packed') instead of substituting its self-consistent
+    rounded-codebook norm ``¼·Σ(w_h)²`` — which is only a valid
+    replacement when ``w_sq`` IS the euclidean norm.
     """
     if mode is None:
         mode = "packed"  # kernel default; env resolves at spec construction
@@ -770,13 +779,20 @@ def bmu_euclidean(
             # w_h — flip error: second-order 2(x−w)·(w−w_h) + 2⁻¹⁷-scale
             # 2(x−x̃)·w_h, both far inside bf16's first-order |x||w|.
             wh, _ = _split_bf16(w2t)
-            wsq_h = 0.25 * jnp.sum(
-                jnp.square(wh.astype(jnp.float32)), axis=0, keepdims=True
-            )
-            # padded codebook columns are zero → ‖w_h‖² = 0 would WIN the
-            # argmin for any x with x·w > 0; mask them to the finite +inf
-            col = jax.lax.broadcasted_iota(jnp.int32, wsq_h.shape, 1)
-            wsq_big = jnp.where(col < xy, wsq_h, 1e38)
+            if w_sq_raw:
+                # the caller's w_sq is NOT Σw² (cosine/norm_p semantics):
+                # substituting the rounded-codebook norm would inject a
+                # per-node bias — split the given operand exactly instead
+                wsq_big = _pad_to(w_sq.astype(jnp.float32), xy_pad, 1, 1e38)
+            else:
+                wsq_h = 0.25 * jnp.sum(
+                    jnp.square(wh.astype(jnp.float32)), axis=0, keepdims=True
+                )
+                # padded codebook columns are zero → ‖w_h‖² = 0 would WIN
+                # the argmin for any x with x·w > 0; mask them to the
+                # finite +inf
+                col = jax.lax.broadcasted_iota(jnp.int32, wsq_h.shape, 1)
+                wsq_big = jnp.where(col < xy, wsq_h, 1e38)
             s1, s2, s3 = _split3_bf16(wsq_big)
             xh, xl = _split_bf16(x_p)
             a = jnp.concatenate([xh, xl, ones], axis=1)
@@ -939,6 +955,8 @@ def bmu_cosine(x, w_flat, *, interpret=False, mode=None, tiles=None):
         interpret=interpret,
         mode=mode,
         tiles=tiles,
+        w_sq_raw=True,  # the zero ‖w‖² is semantic — split2 must not
+        # substitute the rounded-codebook norm (a per-node ~¼·(1±2⁻⁸) bias)
     )
     x_norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=1))
     sim = jnp.nan_to_num(-negdot / x_norm)
@@ -1306,5 +1324,8 @@ def bmu_norm_p_even(
         interpret=interpret,
         mode=mode,
         tiles=tiles,
+        w_sq_raw=True,  # the zero ‖w‖² is semantic — split2 must not
+        # substitute ¼·Σ(ψ_h)², an O(C(p,e)²·|w|^2e) per-node bias that
+        # would swamp the cancelled distances entirely
     )
     return idx, val

@@ -428,6 +428,14 @@ def train_streaming(
         superbatch_rows = default_superbatch_rows(
             getattr(source, "dim", spec.input_len)
         )
+    # the SAME training-branch sizing the resident path applies
+    # (utils.hw.training_chunk): align >1-tile chunks to the fused
+    # kernel's 1024 sample tile — an unaligned chunk (e.g. a raw
+    # n_parallel of 1792) forces an in-graph pad per scan step, measured
+    # to blow Mosaic/XLA compile time from ~1.5 s to >100 s
+    from ..utils.hw import training_chunk
+
+    chunk = training_chunk(superbatch_rows, chunk)
     if mesh is not None and _is_grid(mesh):
         from .grid_sharded import make_update_fn_2d
 

@@ -104,7 +104,11 @@ def _config_dict(som):
         # loader treat it as user-explicit and drop the _matrix_chunk
         # budget on matrix-materializing paths (chunk·XY·4-byte
         # transients — ~17 GB at XY=512² with the fused default)
-        "n_parallel": int(som._n_parallel) if som._n_parallel_explicit else 0,
+        "n_parallel": (
+            int(som._n_parallel)
+            if getattr(som, "_n_parallel_explicit", False)
+            else 0
+        ),
         # bmu_precision is NUMERIC semantics — it travels with the
         # checkpoint unconditionally so the reloaded model reproduces the
         # training numerics. use_pallas/bmu_tiles are HARDWARE tuning:
