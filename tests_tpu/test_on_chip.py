@@ -848,3 +848,52 @@ def test_norm_p_nonpositive_p_xla_path_on_chip(record):
     # p=-2 rewards LARGE per-dim gaps being rare; training toward the
     # winners still reduces the quantization objective it optimizes
     assert qe1 < qe0
+
+
+def test_split2_raw_wsq_wrappers_on_chip(record):
+    """Review fix (round 5 tail): the cosine and even-p norm_p wrappers
+    ride bmu_euclidean with a SEMANTIC-zero ``w_sq``; split2 must honor
+    it (``w_sq_raw``) instead of substituting the rounded-codebook norm
+    — the substituted bias made norm_p winners garbage and cosine
+    bf16-coarse. Post-fix, compiled split2 flips vs 'highest' must sit
+    in the near-tie class (<1%), and the negative-even-p dispatch must
+    produce nonzero activations (it returned all zeros before)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(((rng.rand(4096, 16) - 0.5) * 4).astype(np.float32))
+    w = jnp.asarray(((rng.rand(256, 16) - 0.5) * 4).astype(np.float32))
+    for fn, kw, name in (
+        (pl_bmu.bmu_cosine, {}, "cosine"),
+        (pl_bmu.bmu_norm_p_even, {"p": 4}, "norm_p4"),
+    ):
+        i_hi, _ = fn(x, w, mode="highest", **kw)
+        i_s2, _ = fn(x, w, mode="split2", **kw)
+        flips = int((np.asarray(i_hi) != np.asarray(i_s2)).sum())
+        record(f"split2_raw_wsq_{name}_flips_of_4096", flips)
+        assert flips < 41, (name, flips)  # <1% = near-tie class
+
+    from xpysom_dask_tpu.ops.distances import norm_p_power_distance
+
+    d_neg = np.asarray(
+        norm_p_power_distance(x[:8], w[:32] + 0.5, p=-2)
+    )
+    assert np.all(d_neg > 0)  # the empty-expansion bug returned zeros
+
+
+def test_streaming_chunk_alignment_on_chip(record):
+    """Review fix (round 5 tail): streamed training with an unaligned
+    explicit n_parallel (1792) must apply the resident path's 1024-tile
+    chunk alignment — same compiled shapes, bit-identical weights."""
+    rng = np.random.RandomState(11)
+    data = np.concatenate(
+        [c + 0.25 * rng.randn(400, 16) for c in rng.rand(3, 16) * 4]
+    ).astype(np.float32)
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    kw = dict(sigma=2.5, random_seed=7, n_parallel=1792)
+    s1 = XPySom(8, 8, 16, **kw)
+    s1.train(ArraySource(data), 4)
+    s2 = XPySom(8, 8, 16, **kw)
+    s2.train(data, 4)
+    d = float(np.abs(s1.get_weights() - s2.get_weights()).max())
+    record("streamed_1792_vs_resident_max_dw", d)
+    assert d == 0.0
