@@ -160,6 +160,63 @@ def main():
     assert som_mesh.winner(full[:3]) == som_one.winner(full[:3])
     print(f"MULTIHOST_INFER_OK pid={pid}", flush=True)
 
+    # --- round 5: model axis SPANNING processes ---------------------------
+    # make_grid_mesh(1, n_global) puts the codebook's P('model') shards on
+    # devices of BOTH processes: the trained weights are non-addressable
+    # from either one, so every train/checkpoint write-back must gather via
+    # fetch_global (process_allgather) — jax.device_get raised here before
+    # (round-5 review finding). The earlier mesh2 = (nprocs, n_local) never
+    # caught this: its model axis stays within one host, so data-axis
+    # replicas keep each model shard locally addressable.
+    import tempfile
+
+    mesh3 = make_grid_mesh(1, n_global)
+    spec8 = SomSpec(
+        x=8,  # divides the n_global model shards (spec.x=6 would not)
+        y=5,
+        input_len=4,
+        sigma=3.0,
+        sigmaN=1.0,
+        learning_rate=0.5,
+        learning_rateN=0.01,
+    )
+    w0_8 = rng.rand(spec8.x, spec8.y, spec8.input_len).astype(np.float32)
+    # streamed write-back (parallel/pipeline.py tail)
+    w_stream3 = train_streaming(
+        spec8,
+        w0_8,
+        ArraySource(splits[pid]),
+        num_epochs=3,
+        chunk=16,
+        superbatch_rows=64,
+        mesh=mesh3,
+    )
+    chunks8, mask8, _ = chunk_data(full, 16)
+    w_ref8 = make_train_fn(spec8, 3)(
+        jnp.asarray(w0_8),
+        jnp.asarray(chunks8),
+        jnp.asarray(mask8),
+        jnp.int32(0),
+        jnp.int32(3),
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_stream3), np.asarray(w_ref8), rtol=1e-4, atol=1e-5
+    )
+    # resident public-API train with a mid-run checkpoint (models/som.py
+    # write-back at the checkpoint boundary AND at the end of train)
+    ckpt = os.path.join(tempfile.gettempdir(), f"mh_modelspan_{port}.npz")
+    som_span = XPySom(8, 5, 4, sigma=2.0, random_seed=11, mesh=mesh3)
+    som_ref = XPySom(8, 5, 4, sigma=2.0, random_seed=11)
+    som_span.train(full, 2, checkpoint_path=ckpt, checkpoint_every=1)
+    som_ref.train(full, 2)
+    np.testing.assert_allclose(
+        som_span.get_weights(), som_ref.get_weights(), rtol=1e-4, atol=1e-5
+    )
+    if pid == 0:
+        assert os.path.exists(ckpt), ckpt
+        os.remove(ckpt)
+    print(f"MULTIHOST_MODELSPAN_OK pid={pid}", flush=True)
+
     print(f"MULTIHOST_OK pid={pid} devices={n_global}", flush=True)
     jax.distributed.shutdown()
 

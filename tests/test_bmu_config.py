@@ -28,7 +28,9 @@ def _data(n=64, d=8, seed=3):
 
 
 def test_bad_precision_raises():
-    with pytest.raises(ValueError, match="not supported.*precisions"):
+    # the constructor delegates to the ONE validation boundary
+    # (SomSpec.__post_init__) — same error for XPySom and SomSpec
+    with pytest.raises(ValueError, match="bmu_precision.*not recognized"):
         XPySom(4, 4, 8, bmu_precision="float16")
 
 

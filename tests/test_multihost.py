@@ -63,3 +63,7 @@ def test_two_process_psum_matches_single():
         # round 5: resident predict/winner gather their P('data')-sharded
         # outputs onto every host instead of raising on np.asarray
         assert "MULTIHOST_INFER_OK" in out, out
+        # round 5: a model axis SPANNING processes (make_grid_mesh(1, 4))
+        # leaves the trained codebook non-addressable per host — train,
+        # checkpoint and streaming write-backs gather via fetch_global
+        assert "MULTIHOST_MODELSPAN_OK" in out, out

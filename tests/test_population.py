@@ -478,7 +478,11 @@ def test_population_streaming_verbose_prints_qe(capsys):
 def test_population_serial_bitwise_matches_individual_training():
     """strategy='serial' (the 'auto' default for resident data) runs each
     member through the SAME compiled program as XPySom.train with the same
-    chunking -> bit-identical weights, no fp-noise tolerance needed."""
+    chunking -> bit-identical weights, no fp-noise tolerance needed.
+    The reference model is a PLAIN standalone XPySom (no n_parallel
+    pinning): auto-sized members self-size exactly like one, so serial
+    sweeps ride the single-model fast path's own chunk budget instead of
+    the concatenated-matrix one (round-5 review finding)."""
     data = _blobs(n=220)
     sigmas = [1.0, 2.0, 3.0]
     lrs = [0.5, 0.3, 0.7]
@@ -489,9 +493,28 @@ def test_population_serial_bitwise_matches_individual_training():
     for i in range(3):
         ref = XPySom(
             6, 5, 8, sigma=sigmas[i], learning_rate=lrs[i],
-            random_seed=11 + i, n_parallel=pop._n_parallel,
+            random_seed=11 + i,
         )
         ref.train(data, 3)
+        np.testing.assert_array_equal(
+            pop.member(i).get_weights(), ref.get_weights()
+        )
+    # auto members carry the standalone auto budget, not the concat one
+    assert pop.member(0)._n_parallel == XPySom(6, 5, 8)._n_parallel
+
+
+def test_population_explicit_n_parallel_reaches_members_and_serial():
+    """An explicit n_parallel is the user's memory bound (reference
+    xpysom.py:131-137): members carry it verbatim and the serial sweep
+    stays bit-identical to individual training at that bound."""
+    data = _blobs(n=220)
+    pop = SomPopulation(2, 6, 5, 8, random_seed=3, n_parallel=64)
+    assert pop.member(0)._n_parallel == 64
+    assert pop.member(0)._n_parallel_explicit
+    pop.train(data, 2, strategy="serial")
+    for i in range(2):
+        ref = XPySom(6, 5, 8, random_seed=3 + i, n_parallel=64)
+        ref.train(data, 2)
         np.testing.assert_array_equal(
             pop.member(i).get_weights(), ref.get_weights()
         )

@@ -495,3 +495,78 @@ def test_activate_is_chunked_and_matches_whole():
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
     # scalar/1-D samples keep working (the planted-fixture probe shape)
     assert som_whole.activate(np.float32([0.1, 0.2, 0.3, 0.4])).shape == (1, 25)
+
+
+# ---------------------------------------------------------------------------
+# round-5 close-out review fixes (second high-effort package review)
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_population_pickle_checkpoints_as_auto():
+    """A SomPopulation unpickled from before the *_explicit flags must
+    checkpoint its n_parallel as AUTO (0 in the header), matching the
+    single-model _config_dict stance — persisting the resolved value as
+    user-explicit would drop the _matrix_chunk budget on reload."""
+    import json
+    import os
+    import tempfile
+
+    from xpysom_dask_tpu import SomPopulation
+
+    pop = SomPopulation(2, 4, 4, 6, random_seed=3)
+    state = pop.__getstate__()
+    state.pop("_n_parallel_explicit", None)  # simulate a legacy pickle
+    legacy = SomPopulation.__new__(SomPopulation)
+    legacy.__setstate__(state)
+    assert legacy._n_parallel_explicit is False
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "legacy_pop.npz")
+        legacy.save_checkpoint(path)
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+        assert header["population"]["n_parallel"] == 0
+        back = SomPopulation.load_checkpoint(path)
+    assert back._n_parallel_explicit is False
+    np.testing.assert_array_equal(back.weights, pop.weights)
+
+
+def test_sklearn_clusterer_forwards_activation_distance_kwargs():
+    """SomClusterer(activation_distance='norm_p', activation_distance_
+    kwargs={'p': 3}) must reach the underlying XPySom — it silently ran
+    with the default p=2 before."""
+    from xpysom_dask_tpu.sklearn import SomClusterer
+
+    X = np.random.RandomState(0).rand(40, 6).astype(np.float32)
+    clu = SomClusterer(
+        4, 4, num_epochs=2, activation_distance="norm_p",
+        activation_distance_kwargs={"p": 3}, random_seed=1,
+    ).fit(X)
+    assert clu.som_._activation_distance_kwargs == {"p": 3}
+    assert dict(clu.som_._spec.distance_kwargs).get("p") == 3
+    # sklearn clone() protocol: params round-trip verbatim
+    params = clu.get_params()
+    assert params["activation_distance_kwargs"] == {"p": 3}
+
+
+def test_population_auto_members_self_size_like_standalone():
+    """Auto-sized population members carry the standalone XPySom budget
+    (the serial plan never materializes the concatenated matrix); the
+    population-level concat budget still governs the stacked programs."""
+    from xpysom_dask_tpu import SomPopulation
+
+    pop = SomPopulation(64, 24, 24, 16, random_seed=0)
+    lone = XPySom(24, 24, 16)
+    assert pop.member(0)._n_parallel == lone._n_parallel
+    assert not pop.member(0)._n_parallel_explicit
+    # the stacked-program budget is against the concatenated matrix
+    assert pop._n_parallel == default_n_parallel(64 * 24 * 24, fused=False)
+
+
+def test_apply_operator_rejects_unknown_kind():
+    from xpysom_dask_tpu.ops.neighborhoods import apply_operator
+
+    with pytest.raises(ValueError, match="operator kind"):
+        apply_operator(
+            ("full", np.eye(4, dtype=np.float32)),
+            jnp.zeros((4, 2)), jnp.zeros((4,)),
+        )

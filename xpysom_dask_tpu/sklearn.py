@@ -71,6 +71,7 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
         std_coeff=0.5,
         topology="rectangular",
         activation_distance="euclidean",
+        activation_distance_kwargs=None,
         random_seed=None,
         n_parallel=0,
         compact_support=False,
@@ -89,6 +90,7 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
         self.std_coeff = std_coeff
         self.topology = topology
         self.activation_distance = activation_distance
+        self.activation_distance_kwargs = activation_distance_kwargs
         self.random_seed = random_seed
         self.n_parallel = n_parallel
         self.compact_support = compact_support
@@ -109,6 +111,7 @@ class SomClusterer(ClusterMixin, TransformerMixin, BaseEstimator):
             std_coeff=self.std_coeff,
             topology=self.topology,
             activation_distance=self.activation_distance,
+            activation_distance_kwargs=self.activation_distance_kwargs or {},
             random_seed=self.random_seed,
             n_parallel=self.n_parallel,
             compact_support=self.compact_support,

@@ -250,10 +250,14 @@ def save_population_checkpoint(pop, path, *, epoch=None):
         "format_version": _FORMAT_VERSION,
         "population": {
             "n_members": pop.n_members,
-            # 0 = auto-sized, like the single-model n_parallel treatment
+            # 0 = auto-sized, like the single-model n_parallel treatment;
+            # a missing flag (population unpickled from before the
+            # *_explicit flags) defaults to AUTO, matching _config_dict —
+            # persisting the resolved value as user-explicit would drop
+            # the _matrix_chunk budget on matrix-materializing paths
             "n_parallel": (
                 int(pop._n_parallel)
-                if getattr(pop, "_n_parallel_explicit", True)
+                if getattr(pop, "_n_parallel_explicit", False)
                 else 0
             ),
             "configs": [_config_dict(m) for m in pop.members],
