@@ -92,8 +92,7 @@ def main():
     # mesh paths must amortize it exactly like the single-chip path or
     # mesh-vs-single comparisons are biased by (k-1) extra dispatches
     if mesh is not None:
-        from xpysom_dask_tpu.parallel.grid_sharded import is_grid_mesh
-
+        # is_grid_mesh already bound by the sharding block above
         if is_grid_mesh(mesh):
             from xpysom_dask_tpu.parallel.grid_sharded import make_train_fn_2d
 

@@ -41,10 +41,10 @@ struct Loader {
   std::vector<Buffer> ring;
   size_t head = 0;  // next buffer the consumer takes
   size_t tail = 0;  // next buffer the reader fills
-  bool eof_queued = false;
   bool stop = false;
   bool consumer_holds = false;
   std::string error;
+  std::string error_snapshot;  // xs_error's stable copy (consumer-owned)
   std::mutex mu;
   std::condition_variable cv_reader, cv_consumer;
   std::thread reader;
@@ -57,7 +57,6 @@ struct Loader {
 
   void start() {
     stop = false;
-    eof_queued = false;
     head = tail = 0;
     consumer_holds = false;  // reset() must clear a held buffer
     error.clear();           // ...and a previous epoch's failure, or the
@@ -74,7 +73,6 @@ struct Loader {
     if (!f) {
       std::lock_guard<std::mutex> lk(mu);
       error = "cannot open " + path;
-      eof_queued = true;
       cv_consumer.notify_all();
       return;
     }
@@ -112,14 +110,12 @@ struct Loader {
       lk.lock();
       if (!err.empty()) {
         error = err;
-        eof_queued = true;
         cv_consumer.notify_all();
         break;
       }
       b.rows = got;
       b.full = true;
       bool done = (got == 0);
-      eof_queued = done;
       tail = (tail + 1) % ring.size();
       cv_consumer.notify_all();
       if (done) break;
@@ -176,6 +172,14 @@ extern "C" {
 
 void* xs_open(const char* path, int64_t n_rows, int64_t n_cols,
               int64_t superbatch_rows, int n_buffers) {
+  // superbatch_rows <= 0 would make the reader queue an immediate
+  // rows==0 EOF with no error — the consumer would silently fold zero
+  // superbatches of the declared n_rows (the exact "train on partial
+  // data" failure the short-read check below guards against). Reject
+  // invalid geometry here; a nullptr is the ABI's failure signal.
+  if (!path || n_rows < 0 || n_cols <= 0 || superbatch_rows <= 0) {
+    return nullptr;
+  }
   if (n_buffers < 2) n_buffers = 2;
   try {
     return new Loader(path, n_rows, n_cols, superbatch_rows, n_buffers);
@@ -188,11 +192,18 @@ const float* xs_acquire(void* h, int64_t* rows) {
   return static_cast<Loader*>(h)->acquire(rows);
 }
 
-// Message for the last failure (valid until the next xs_reset/xs_close);
-// empty string when no error. Lets Python raise the SPECIFIC cause
-// (short file vs read error vs open failure) instead of a generic one.
+// Message for the last failure (valid until the next xs_error/xs_reset/
+// xs_close); empty string when no error. Lets Python raise the SPECIFIC
+// cause (short file vs read error vs open failure) instead of a generic
+// one. The live `error` string is owned by the reader thread's mutex —
+// snapshot it under the lock into consumer-owned storage so the returned
+// pointer stays valid after release (single consumer thread, like the
+// rest of the acquire/release protocol).
 const char* xs_error(void* h) {
-  return static_cast<Loader*>(h)->error.c_str();
+  Loader* L = static_cast<Loader*>(h);
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->error_snapshot = L->error;
+  return L->error_snapshot.c_str();
 }
 
 void xs_release(void* h) { static_cast<Loader*>(h)->release(); }

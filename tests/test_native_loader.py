@@ -117,3 +117,56 @@ def test_native_reset_protocol_recovers(tmp_path):
         np.testing.assert_array_equal(np.concatenate(got), data)
     finally:
         lib.xs_close(h)
+
+
+# -- round-5 close-out review: invalid superbatch geometry -------------------
+
+
+def test_nonpositive_superbatch_rows_raise(dataset):
+    """rows<=0 must raise eagerly at the source boundary — the native
+    loader used to deliver a silent rows==0 EOF (zero of the declared
+    rows, no error), and ArraySource's range() raised a cryptic step
+    error."""
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    f, data = dataset
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="superbatch rows"):
+            next(FileSource(f, 1000, 6).superbatches(bad))
+        with pytest.raises(ValueError, match="superbatch rows"):
+            next(ArraySource(data).superbatches(bad))
+
+
+def test_train_streaming_rejects_nonpositive_superbatch_rows(dataset):
+    from xpysom_dask_tpu.core import SomSpec
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource, train_streaming
+
+    f, data = dataset
+    spec = SomSpec(4, 4, 6, 2.0, 1.0, 0.5, 0.01)
+    w = np.zeros((4, 4, 6), np.float32)
+    with pytest.raises(ValueError, match="superbatch rows"):
+        train_streaming(spec, w, ArraySource(data), 1, superbatch_rows=0)
+
+
+@needs_native
+def test_xs_open_rejects_invalid_geometry(dataset):
+    """The C ABI itself rejects geometry that would silently stream
+    nothing: sb_rows<=0, n_cols<=0, negative n_rows -> nullptr."""
+    import ctypes
+
+    from xpysom_dask_tpu.utils.native import load_chunkloader
+
+    f, _ = dataset
+    lib = load_chunkloader()
+    path = str(f).encode()
+    assert lib.xs_open(path, 1000, 6, 0, 2) is None
+    assert lib.xs_open(path, 1000, 6, -4, 2) is None
+    assert lib.xs_open(path, 1000, 0, 128, 2) is None
+    assert lib.xs_open(path, -1, 6, 128, 2) is None
+    # valid geometry still opens (and xs_error is empty + stable)
+    h = lib.xs_open(path, 1000, 6, 128, 2)
+    assert h is not None
+    err_fn = getattr(lib, "xs_error", None)
+    if err_fn is not None:
+        assert (err_fn(h) or b"") == b""
+    lib.xs_close(h)

@@ -50,6 +50,17 @@ class DataSource(Protocol):
     def superbatches(self, rows: int) -> Iterator[np.ndarray]: ...
 
 
+def _check_rows(rows: int) -> int:
+    """Superbatch size must be positive — 0 would make every source
+    yield an immediate empty epoch (the native loader would deliver a
+    silent rows==0 EOF; ArraySource's range() would raise a cryptic
+    step error), so the contract is enforced once, eagerly, here."""
+    rows = int(rows)
+    if rows <= 0:
+        raise ValueError(f"superbatch rows must be positive, got {rows}")
+    return rows
+
+
 class ArraySource:
     """DataSource over an in-memory array or ``np.memmap`` (rows are read
     lazily, so a 25 GB memmap never fully materializes in host RAM)."""
@@ -67,6 +78,7 @@ class ArraySource:
         return self.array.shape[1]
 
     def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        rows = _check_rows(rows)
         n = self.array.shape[0]
         for start in range(0, n, rows):
             block = np.asarray(self.array[start : start + rows], dtype=np.float32)
@@ -96,6 +108,7 @@ class IterableSource:
         return self.n_cols
 
     def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        rows = _check_rows(rows)
         pending = []
         have = 0
         for batch in self.factory():
@@ -173,6 +186,7 @@ class FileSource:
             lib.xs_close(h)
 
     def superbatches(self, rows: int) -> Iterator[np.ndarray]:
+        rows = _check_rows(rows)
         if self._lib is not None:
             yield from self._superbatches_native(rows)
             return
@@ -459,6 +473,7 @@ def train_streaming(
         superbatch_rows = default_superbatch_rows(
             getattr(source, "dim", spec.input_len)
         )
+    superbatch_rows = _check_rows(superbatch_rows)
     # the SAME training-branch sizing the resident path applies
     # (utils.hw.training_chunk): align >1-tile chunks to the fused
     # kernel's 1024 sample tile — an unaligned chunk (e.g. a raw
