@@ -570,3 +570,113 @@ def test_apply_operator_rejects_unknown_kind():
             ("full", np.eye(4, dtype=np.float32)),
             jnp.zeros((4, 2)), jnp.zeros((4,)),
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 third-review fixes (inference budgets, hoisted uploads, bucketing)
+# ---------------------------------------------------------------------------
+
+
+def test_inference_chunk_never_exceeds_tiny_explicit_budget():
+    """A user n_parallel < 8 is a memory budget: bucketed inference must
+    not round it UP to a lane group (regression: max(8, ...) silently
+    doubled n_parallel=4)."""
+    from xpysom_dask_tpu.utils.hw import inference_chunk
+
+    for cap in range(1, 8):
+        chunk, _ = inference_chunk(100, cap)
+        assert chunk == cap  # unaligned but honored
+    # at/above a lane group the old alignment stands (rounds DOWN)
+    assert inference_chunk(100, 500)[0] == 496
+    assert inference_chunk(4, 500)[0] == 8  # ladder rung
+    assert inference_chunk(100, 4096)[0] == 512  # ladder rung under cap
+
+    som = XPySom(4, 4, 6, n_parallel=4, random_seed=1)
+    data = np.random.RandomState(0).rand(10, 6).astype(np.float32)
+    chunks, mask, n = som._chunked(data, bucket=True)
+    assert chunks.shape[1] <= 4
+    assert n == 10
+    # the budget-honoring chunks still drive the public inference path
+    w = som.winner(data)
+    assert len(w) == 10
+
+
+def test_population_fused_chunks_are_member_sized():
+    """strategy='fused' runs per-member fused kernels (no concatenated
+    matrix): its chunks take the MEMBER budget, not the ~64x smaller
+    concat budget the 'batched' plan needs (round-5 third review)."""
+    from xpysom_dask_tpu import SomPopulation
+    from xpysom_dask_tpu.utils.hw import training_chunk
+
+    pop = SomPopulation(64, 24, 24, 16, random_seed=0)
+    n = 8192
+    data = np.random.RandomState(1).rand(n, 16).astype(np.float32)
+    member_np = pop.member(0)._n_parallel
+    assert pop._stats_n_parallel("fused") == member_np
+    assert pop._stats_n_parallel("concat") == pop._n_parallel
+    chunks_f, _, _ = pop._chunked(data, "fused")
+    chunks_c, _, _ = pop._chunked(data, "concat")
+    assert chunks_f.shape[1] == training_chunk(n, member_np)
+    assert chunks_c.shape[1] == training_chunk(n, pop._n_parallel)
+    assert chunks_f.shape[1] > chunks_c.shape[1]  # the regression's point
+
+
+def test_population_fused_member_chunks_keep_parity():
+    """Member-sized fused chunks change summation grouping only; the
+    trained weights stay within fp tolerance of the batched plan."""
+    from xpysom_dask_tpu import SomPopulation
+
+    data = np.random.RandomState(2).rand(600, 8).astype(np.float32)
+    a = SomPopulation(3, 6, 6, 8, random_seed=7)
+    b = SomPopulation(3, 6, 6, 8, random_seed=7)
+    a.train(data, 3, strategy="fused")
+    b.train(data, 3, strategy="batched")
+    np.testing.assert_allclose(a.weights, b.weights, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_topographic_error_uploads_codebook_once(monkeypatch):
+    """Streaming TE hoists the codebook upload out of the superbatch loop
+    like predict/QE/activation_response (regression: one device_put per
+    ~256 MB block — ~30 s pure transfer on the relay tunnel)."""
+    som = XPySom(6, 6, 8, random_seed=3)
+    data = np.random.RandomState(4).rand(300, 8).astype(np.float32)
+    som.train(data, 2)
+    resident = som.topographic_error(data)
+
+    monkeypatch.setattr(XPySom, "_superbatch_rows", lambda self: 100)
+    calls = {"n": 0}
+    orig = XPySom._device_weights
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(XPySom, "_device_weights", counting)
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    streamed = som.topographic_error(ArraySource(data))
+    assert calls["n"] == 1  # hoisted: one upload for three superbatches
+    np.testing.assert_allclose(streamed, resident, rtol=1e-6, atol=1e-9)
+
+
+def test_population_streaming_qe_buckets_tail_blocks():
+    """Streaming quantization_errors snaps blocks onto the inference
+    ladder so a tail block with a distinct length reuses the compiled
+    shape instead of recompiling the QE executable (round-5 third
+    review); values still match the resident evaluation."""
+    from xpysom_dask_tpu import SomPopulation
+    from xpysom_dask_tpu.parallel.pipeline import ArraySource
+
+    pop = SomPopulation(3, 5, 5, 8, random_seed=5)
+    data = np.random.RandomState(6).rand(137, 8).astype(np.float32)
+    pop.train(data, 2)
+    # same padded shape class for different block lengths in one rung
+    s1 = pop._chunked(data[:100], bucket=True)[0].shape
+    s2 = pop._chunked(data[:90], bucket=True)[0].shape
+    assert s1 == s2
+    # and distinct shapes stay on the bounded ladder, not per-length
+    s3 = pop._chunked(data[:37], bucket=True)[0].shape
+    assert s3[1] in (8, 64, 512)
+    resident = pop.quantization_errors(data)
+    streamed = pop.quantization_errors(ArraySource(data))
+    np.testing.assert_allclose(streamed, resident, rtol=1e-6, atol=1e-9)

@@ -532,17 +532,44 @@ class SomPopulation:
             return put_with_sharding(w, replicated_sharding(self._mesh))
         return jnp.asarray(w)
 
-    def _chunked(self, data2d: np.ndarray):
+    def _stats_n_parallel(self, stats_impl: str) -> int:
+        """Chunk budget for a stacked-program strategy: 'concat'
+        materializes the concatenated ``(chunk, P·XY)`` distance matrix,
+        so it takes the population-level budget; 'fused' runs the
+        per-member fused Pallas kernels inside ``lax.map`` and never
+        builds that matrix, so it takes the MEMBER's budget (identical
+        across members) — the same round-5 finding that member-sized the
+        'serial' plan applies to 'fused' (a concat-sized chunk paid ~16×
+        the per-chunk dispatch overhead for no memory win)."""
+        if stats_impl == "fused":
+            return self._members_list[0]._n_parallel
+        return self._n_parallel
+
+    def _chunked(
+        self, data2d: np.ndarray, stats_impl: str = "concat", bucket=False
+    ):
         from ..parallel.mesh import put_with_sharding
+        from ..utils.hw import inference_chunk
 
         n = data2d.shape[0]
-        # shared training-branch sizing (utils.hw.training_chunk): the
-        # 1024 sample-tile floor matters for strategy='fused' (Pallas
-        # kernel inside lax.map — unaligned chunks blow compile time) and
-        # is harmless for 'batched' (stays under the n_parallel budget)
-        chunk = training_chunk(n, self._n_parallel)
+        min_chunks = 1
+        if bucket:
+            # INFERENCE paths (streaming quantization_errors): the shared
+            # bucketed ladder bounds the compiled-shape class across
+            # varying superbatch tails, like XPySom._chunked(bucket=True)
+            chunk, min_chunks = inference_chunk(
+                n, self._stats_n_parallel(stats_impl)
+            )
+        else:
+            # shared training-branch sizing (utils.hw.training_chunk): the
+            # 1024 sample-tile floor matters for strategy='fused' (Pallas
+            # kernel inside lax.map — unaligned chunks blow compile time)
+            # and is harmless for 'batched' (stays under the budget)
+            chunk = training_chunk(n, self._stats_n_parallel(stats_impl))
         n_shards = 1 if self._mesh is None else self._mesh.devices.size
-        chunks, mask, _ = chunk_data(data2d, chunk, multiple_of=n_shards)
+        chunks, mask, _ = chunk_data(
+            data2d, chunk, multiple_of=n_shards, min_chunks=min_chunks
+        )
         if self._mesh is not None:
             # resident data: identical on every process, multi-process-safe
             sh = data_sharding(self._mesh)
@@ -681,7 +708,7 @@ class SomPopulation:
                 )
             return self
         stats_impl = "fused" if strategy == "fused" else "concat"
-        chunks, mask, n = self._chunked(data2d)
+        chunks, mask, n = self._chunked(data2d, stats_impl)
         w = self._stacked_device_weights()
         specs = self._specs()
         ckpt = bool(checkpoint_every and checkpoint_path)
@@ -853,12 +880,16 @@ class SomPopulation:
             reporter.start()
         n_src = len(source)
         ckpt = bool(checkpoint_every and checkpoint_path)
-        # shared training-branch sizing (utils.hw.training_chunk): the
-        # 1024-tile alignment matters doubly here — the default 'auto'
-        # fused program runs the Pallas BMU inside lax.map over members,
-        # so an unaligned chunk would pay the per-scan-step in-graph pad
-        # (the measured >100 s compile pathology) P times over
-        chunk = training_chunk(superbatch_rows, self._n_parallel)
+        # shared training-branch sizing (utils.hw.training_chunk) against
+        # the strategy's OWN budget (member-sized for 'fused', which
+        # never materializes the concatenated matrix — round-5 review).
+        # The 1024-tile alignment matters doubly here: the fused program
+        # runs the Pallas BMU inside lax.map over members, so an
+        # unaligned chunk would pay the per-scan-step in-graph pad (the
+        # measured >100 s compile pathology) P times over
+        chunk = training_chunk(
+            superbatch_rows, self._stats_n_parallel(stats_impl)
+        )
         for t in range(iter_beg, iter_end):
             s, cnt = stats_streaming(
                 spec0, w, source, chunk, superbatch_rows, self._mesh,
@@ -933,7 +964,10 @@ class SomPopulation:
             ):
                 block = np.atleast_2d(block)
                 self._check_input_len(block)
-                chunks, mask, _ = self._chunked(block)
+                # bucketed like single-model streaming QE (som.py): a tail
+                # block with a distinct shape must not recompile the QE
+                # executable per call pattern
+                chunks, mask, _ = self._chunked(block, bucket=True)
                 t, c = qe_fn(w, chunks, mask)
                 tot += np.asarray(jax.device_get(t), dtype=np.float64)
                 n += float(c)

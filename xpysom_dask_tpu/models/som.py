@@ -44,7 +44,7 @@ from ..parallel.mesh import (
     resolve_mesh,
 )
 from ..utils.envflags import env_flag
-from ..utils.hw import default_n_parallel, training_chunk
+from ..utils.hw import default_n_parallel, inference_chunk, training_chunk
 from ..utils.progress import ProgressReporter
 
 __all__ = ["XPySom"]
@@ -322,10 +322,6 @@ class XPySom:
             self._n_parallel, default_n_parallel(self._x * self._y, fused=False)
         )
 
-    # Inference chunk-size ladder: geometric rungs (×8) bound the set of
-    # compiled shapes across arbitrary call sizes — see _chunked(bucket=).
-    _INFER_RUNGS = (8, 64, 512)
-
     def _chunked(self, data2d: np.ndarray, chunk: int = None, bucket: bool = False):
         """Pad + chunk host data and place it on device(s).
 
@@ -340,28 +336,15 @@ class XPySom:
         the padded shape onto a small ladder so repeated calls with
         varying batch sizes reuse executables instead of retracing per
         distinct length (the reference paid no compile step, so this cost
-        class must stay bounded): the chunk rounds up to the next rung of
-        ``_INFER_RUNGS`` (then the cap), and the chunk COUNT rounds up to
-        a power of two with fully-masked padding chunks. Distinct
-        compiled shapes across ANY call sequence ≤ len(rungs)+1 ladder ×
-        log₂(max C) — a handful. Training never buckets (one dataset →
-        one trace; padding there would cost every epoch)."""
+        class must stay bounded): see ``utils.hw.inference_chunk``.
+        Training never buckets (one dataset → one trace; padding there
+        would cost every epoch)."""
         n = data2d.shape[0]
         min_chunks = 1
         if bucket:
             # budget cap only (do NOT shrink to this call's n — that is
             # exactly the per-length retrace this path exists to avoid)
-            cap = chunk or self._n_parallel
-            cap = (
-                max(1024, (cap // 1024) * 1024)
-                if cap > 1024
-                else max(8, (cap // 8) * 8)
-            )
-            chunk = next(
-                (r for r in self._INFER_RUNGS if n <= r <= cap), cap
-            )
-            c = max(1, -(-n // chunk))
-            min_chunks = 1 << (c - 1).bit_length()  # next power of two
+            chunk, min_chunks = inference_chunk(n, chunk or self._n_parallel)
         else:
             chunk = training_chunk(n, chunk or self._n_parallel)
         chunks, mask, _ = chunk_data(
@@ -938,9 +921,13 @@ class XPySom:
         src = self._as_source(data)
         if src is not None:
             self._guard_multihost_streaming_inference()
+            # hoist the codebook upload out of the block loop like the
+            # sibling streaming metrics (predict/QE/activation_response):
+            # re-putting a large codebook per block is pure wasted transfer
+            w = self._device_weights()
             errs = n = 0.0
             for block in src.superbatches(self._superbatch_rows()):
-                e, c = self._te_counts(np.atleast_2d(block))
+                e, c = self._te_counts(np.atleast_2d(block), w=w)
                 errs += e
                 n += c
             if n == 0:
@@ -956,9 +943,11 @@ class XPySom:
         e, c = self._te_counts(data2d)
         return e / c
 
-    def _te_counts(self, data2d):
+    def _te_counts(self, data2d, w=None):
         """(Σ errors, Σ count) for one resident block — the reusable body
-        of topographic_error."""
+        of topographic_error. ``w`` (optional) is a pre-placed device
+        codebook, hoisted by the streaming loop so it uploads once per
+        call rather than once per superbatch."""
         self._check_input_len(data2d)
         # reference guards on prod(weights.shape) (xpysom.py:721) and then
         # degrades to a NaN-with-warnings mean over an empty diff for 1x1
@@ -986,7 +975,9 @@ class XPySom:
             n_model = int(self._mesh.shape[MODEL_AXIS])
             if (self._x * self._y) // n_model >= 2:
                 fn = make_topographic_stats_fn_2d(self._spec, self._mesh)
-                errs, n = fn(self._device_weights(), chunks, mask)
+                errs, n = fn(
+                    self._device_weights() if w is None else w, chunks, mask
+                )
                 return float(errs), float(n)
             # tiny maps leave <2 codebook rows per model shard — the
             # sharded top-2 merge is undefined there; compute replicated
@@ -1002,7 +993,7 @@ class XPySom:
             )
             return float(errs), float(n)
         fn = core.make_topographic_stats_fn(self._spec, self._mesh)
-        errs, n = fn(self._device_weights(), chunks, mask)
+        errs, n = fn(self._device_weights() if w is None else w, chunks, mask)
         return float(errs), float(n)
 
     # -- weight initialization ------------------------------------------------

@@ -259,6 +259,23 @@ def _shard_stats(
     return s, cnt
 
 
+def _gathered_update(spec: SomSpec, num_epochs: int, w_local, s_local, cnt_local, t):
+    """The model-axis finalize protocol, shared by the epoch step and the
+    streaming update fn (round-5 review: two verbatim copies could drift):
+    gather full statistics over the model axis (the one XY-sized
+    collective per epoch), compute the tiny update, keep local rows."""
+    rows = w_local.shape[0] * w_local.shape[1]  # local X-rows * Y
+    w_flat_local = w_local.reshape(rows, spec.input_len)
+    eta, sig = _decays(spec, t, num_epochs)
+    s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
+    cnt = jax.lax.all_gather(cnt_local, MODEL_AXIS, axis=0, tiled=True)
+    w_flat = jax.lax.all_gather(w_flat_local, MODEL_AXIS, axis=0, tiled=True)
+    new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
+    offset = jax.lax.axis_index(MODEL_AXIS) * rows
+    new_local = jax.lax.dynamic_slice_in_dim(new_flat, offset, rows, axis=0)
+    return new_local.reshape(w_local.shape)
+
+
 def _make_step_2d(spec: SomSpec, num_epochs: int):
     dist = spec.distance_fn()
     from ..core import _use_split_scatter
@@ -268,19 +285,10 @@ def _make_step_2d(spec: SomSpec, num_epochs: int):
     def step(w_local, data, mask, t):
         rows = w_local.shape[0] * w_local.shape[1]  # local X-rows * Y
         w_flat_local = w_local.reshape(rows, spec.input_len)
-        eta, sig = _decays(spec, t, num_epochs)
         s_local, cnt_local = _shard_stats(
             spec, dist, w_flat_local, data, mask, split=split
         )
-        # gather full statistics over the model axis (the one XY-sized
-        # collective per epoch), compute the tiny update, keep local rows
-        s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
-        cnt = jax.lax.all_gather(cnt_local, MODEL_AXIS, axis=0, tiled=True)
-        w_flat = jax.lax.all_gather(w_flat_local, MODEL_AXIS, axis=0, tiled=True)
-        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
-        offset = jax.lax.axis_index(MODEL_AXIS) * rows
-        new_local = jax.lax.dynamic_slice_in_dim(new_flat, offset, rows, axis=0)
-        return new_local.reshape(w_local.shape)
+        return _gathered_update(spec, num_epochs, w_local, s_local, cnt_local, t)
 
     return step
 
@@ -361,16 +369,7 @@ def make_update_fn_2d(spec: SomSpec, num_epochs: int, mesh: Mesh):
     _local_rows(spec, mesh.shape[MODEL_AXIS])
 
     def run(w_local, s_local, cnt_local, t):
-        rows = w_local.shape[0] * w_local.shape[1]
-        w_flat_local = w_local.reshape(rows, spec.input_len)
-        eta, sig = _decays(spec, t, num_epochs)
-        s = jax.lax.all_gather(s_local, MODEL_AXIS, axis=0, tiled=True)
-        cnt = jax.lax.all_gather(cnt_local, MODEL_AXIS, axis=0, tiled=True)
-        w_flat = jax.lax.all_gather(w_flat_local, MODEL_AXIS, axis=0, tiled=True)
-        new_flat = _update_from_stats(spec, w_flat, s, cnt, eta, sig)
-        offset = jax.lax.axis_index(MODEL_AXIS) * rows
-        new_local = jax.lax.dynamic_slice_in_dim(new_flat, offset, rows, axis=0)
-        return new_local.reshape(w_local.shape)
+        return _gathered_update(spec, num_epochs, w_local, s_local, cnt_local, t)
 
     sharded = jax.shard_map(
         run,

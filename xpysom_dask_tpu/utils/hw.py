@@ -19,7 +19,13 @@ __all__ = [
     "default_n_parallel",
     "backend_kind",
     "round_up",
+    "training_chunk",
+    "inference_chunk",
 ]
+
+# Inference chunk-size ladder: geometric rungs (×8) bound the set of
+# compiled shapes across arbitrary call sizes — see inference_chunk.
+INFER_RUNGS = (8, 64, 512)
 
 # Distance-matrix element budget per chunk. 2^24 fp32 elements = 64 MB HBM
 # transient on accelerators; scaled down on CPU hosts.
@@ -58,6 +64,32 @@ def training_chunk(n: int, n_parallel: int) -> int:
     if chunk > 1024:
         chunk = max(1024, (chunk // 1024) * 1024)
     return chunk
+
+
+def inference_chunk(n: int, cap: int) -> tuple[int, int]:
+    """THE inference-branch (bucketed) chunk sizing: snap the padded shape
+    onto a small ladder so repeated calls with varying batch sizes reuse
+    executables instead of retracing per distinct length. Returns
+    ``(chunk, min_chunks)`` for ``chunk_data``: the chunk rounds up to the
+    next ``INFER_RUNGS`` rung under the budget cap (then the cap), and the
+    chunk COUNT rounds up to a power of two with fully-masked padding
+    chunks — distinct compiled shapes across ANY call sequence ≤
+    len(rungs)+1 ladder × log₂(max C). The cap itself rounds DOWN to its
+    alignment (1024 sample tiles above one tile, 8 lanes above one group)
+    and a cap below 8 stands as-is: a user-specified ``n_parallel`` (a
+    memory budget, reference xpysom.py:131-137) is never exceeded
+    (round-5 review: ``max(8, ...)`` silently doubled an explicit
+    ``n_parallel=4``). Shared by ``XPySom._chunked(bucket=True)`` and the
+    streaming ``SomPopulation`` metrics so the compile-class bound can
+    never drift between them."""
+    if cap > 1024:
+        cap = max(1024, (cap // 1024) * 1024)
+    elif cap >= 8:
+        cap = (cap // 8) * 8
+    # cap < 8: the user's explicit budget stands, unaligned but honored
+    chunk = next((r for r in INFER_RUNGS if n <= r <= cap), cap)
+    c = max(1, -(-n // chunk))
+    return chunk, 1 << (c - 1).bit_length()
 
 
 def default_n_parallel(
