@@ -239,7 +239,8 @@ def main():
         if os.environ.get("XSOM_BENCH_SEARCH_INNER"):
             inner_hi = int(os.environ["XSOM_BENCH_SEARCH_INNER"])
             inner_lo = max(1, inner_hi // 5)
-        med = {}
+        tmin = {}  # min-of-3, NOT a median: slope math wants the
+        # least-noise floor per depth (relay jitter only ever adds time)
         for inner in {inner_lo, inner_hi}:
             run(inner)  # warmup/compile
             ts = []
@@ -247,14 +248,14 @@ def main():
                 t0 = time.perf_counter()
                 run(inner)
                 ts.append(time.perf_counter() - t0)
-            med[inner] = min(ts)
+            tmin[inner] = min(ts)
         if inner_hi > inner_lo:
-            per_exec = (med[inner_hi] - med[inner_lo]) / (inner_hi - inner_lo)
+            per_exec = (tmin[inner_hi] - tmin[inner_lo]) / (inner_hi - inner_lo)
         else:
             # degenerate depth (XSOM_BENCH_SEARCH_INNER=1): no slope is
             # possible — dispatch-inclusive estimate, like the headline
             # metric's 'direct' fallback
-            per_exec = med[inner_hi] / inner_hi
+            per_exec = tmin[inner_hi] / inner_hi
         searches_per_sec = sn / per_exec if per_exec > 0 else None
         rate_s = (
             f"{searches_per_sec:,.0f}" if searches_per_sec else "n/a (slope<=0)"

@@ -180,6 +180,14 @@ void* xs_open(const char* path, int64_t n_rows, int64_t n_cols,
   if (!path || n_rows < 0 || n_cols <= 0 || superbatch_rows <= 0) {
     return nullptr;
   }
+  // Magnitude guard: superbatch_rows * n_cols * sizeof(float) must not
+  // wrap size_t — a wrapped product resizes the ring buffers to (almost)
+  // nothing and the reader's fread then writes past the allocation
+  // (heap corruption in native code, not a catchable bad_alloc).
+  if (static_cast<uint64_t>(superbatch_rows) >
+      SIZE_MAX / sizeof(float) / static_cast<uint64_t>(n_cols)) {
+    return nullptr;
+  }
   if (n_buffers < 2) n_buffers = 2;
   try {
     return new Loader(path, n_rows, n_cols, superbatch_rows, n_buffers);
@@ -200,15 +208,35 @@ const float* xs_acquire(void* h, int64_t* rows) {
 // pointer stays valid after release (single consumer thread, like the
 // rest of the acquire/release protocol).
 const char* xs_error(void* h) {
+  // No C++ exception may cross the C ABI into ctypes (std::terminate):
+  // the snapshot assignment allocates and can throw bad_alloc under
+  // memory pressure — degrade to a static message instead.
   Loader* L = static_cast<Loader*>(h);
-  std::lock_guard<std::mutex> lk(L->mu);
-  L->error_snapshot = L->error;
-  return L->error_snapshot.c_str();
+  try {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->error_snapshot = L->error;
+    return L->error_snapshot.c_str();
+  } catch (...) {
+    return "native loader error (message unavailable: out of memory)";
+  }
 }
 
 void xs_release(void* h) { static_cast<Loader*>(h)->release(); }
 
-void xs_reset(void* h) { static_cast<Loader*>(h)->reset(); }
+void xs_reset(void* h) {
+  // reset() -> start() constructs a std::thread, which throws
+  // std::system_error on thread-resource exhaustion; surface that as a
+  // consumer-visible error (acquire returns rows=-1) rather than letting
+  // it cross the C ABI and abort the host process.
+  Loader* L = static_cast<Loader*>(h);
+  try {
+    L->reset();
+  } catch (...) {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->error = "cannot restart reader thread for " + L->path;
+    L->cv_consumer.notify_all();
+  }
+}
 
 void xs_close(void* h) { delete static_cast<Loader*>(h); }
 

@@ -170,3 +170,23 @@ def test_xs_open_rejects_invalid_geometry(dataset):
     if err_fn is not None:
         assert (err_fn(h) or b"") == b""
     lib.xs_close(h)
+
+
+@needs_native
+def test_xs_open_rejects_size_overflow(dataset):
+    """Magnitude guard (round-5 review): superbatch_rows * n_cols *
+    sizeof(float) wrapping size_t must be rejected at xs_open — a
+    wrapped product would allocate (almost) nothing and fread would
+    then corrupt the heap in native code."""
+    from xpysom_dask_tpu.utils.native import load_chunkloader
+
+    f, _ = dataset
+    lib = load_chunkloader()
+    path = str(f).encode()
+    # 2^40 * 2^24 * 4 == 2^66 wraps 64-bit size_t to 0
+    assert lib.xs_open(path, 1000, 1 << 24, 1 << 40, 2) is None
+    # just-wrapping boundary: sb * nc * 4 == 2^64 exactly
+    assert lib.xs_open(path, 1000, 1 << 31, 1 << 31, 2) is None
+    # big-but-representable products are rejected by the allocator
+    # (bad_alloc -> nullptr), never by wraparound succeeding
+    assert lib.xs_open(path, 1000, 1 << 20, 1 << 30, 2) is None

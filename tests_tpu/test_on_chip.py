@@ -337,7 +337,11 @@ def test_fused_cosine_and_manhattan_bmu_on_chip():
         jnp.argmin(DistanceFunction("manhattan").flat(
             jnp.asarray(x), jnp.asarray(w), None), axis=1)
     )
-    assert np.mean(np.asarray(idx_m) == ref_m) > 0.9999
+    # 0.999 (like cosine below): the two paths accumulate |x-w| in
+    # different orders, so a handful of 1-ulp near-tie flips is within
+    # contract; at n=8192 a 0.9999 bound would mathematically require
+    # ZERO flips (8191/8192 < 0.9999) — a latent flake, not a tolerance
+    assert np.mean(np.asarray(idx_m) == ref_m) > 0.999
 
     idx_c, _ = bmu_cosine(jnp.asarray(x), jnp.asarray(w))
     ref_c = np.asarray(
@@ -519,8 +523,8 @@ def test_split_scatter_matches_fused_on_chip(record):
     """Lane-boundary split scatter (round 3): at D=512 the separate
     S / cnt scatters must reproduce the fused [x|1] scatter bitwise on
     the real scatter lowering (same adds, per-chunk partials both ways)."""
-    import os
     from xpysom_dask_tpu import core
+    from xpysom_dask_tpu.core import SomSpec
 
     rng = np.random.RandomState(11)
     d, xy = 512, 1024
@@ -528,7 +532,6 @@ def test_split_scatter_matches_fused_on_chip(record):
     mask = jnp.asarray((rng.rand(2, 4096) > 0.05).astype(np.float32))
     w = jnp.asarray(rng.rand(xy, d).astype(np.float32))
     w_sq = jnp.sum(jnp.square(w), axis=1, keepdims=True)
-    from xpysom_dask_tpu.core import SomSpec
 
     spec = SomSpec(
         x=32, y=32, input_len=d, sigma=4.0, sigmaN=1.0,
