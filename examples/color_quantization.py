@@ -41,7 +41,8 @@ def main():
         import matplotlib.pyplot as plt
         import os
 
-        os.makedirs("examples/out", exist_ok=True)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+        os.makedirs(out, exist_ok=True)
         fig, ax = plt.subplots(1, 2, figsize=(8, 4))
         ax[0].imshow(img)
         ax[0].set_title("original")
@@ -49,8 +50,8 @@ def main():
         ax[1].set_title("quantized (16 colors)")
         for a in ax:
             a.axis("off")
-        plt.savefig("examples/out/color_quantization.png", dpi=100)
-        print("wrote examples/out/color_quantization.png")
+        plt.savefig(os.path.join(out, "color_quantization.png"), dpi=100)
+        print("wrote", os.path.join(out, "color_quantization.png"))
     except ImportError:
         pass
 

@@ -1,11 +1,16 @@
-"""Hyperparameter sweep with SomPopulation: P maps, one compiled program.
+"""Hyperparameter sweep with SomPopulation: P maps behind one API.
 
 The classic SOM model-selection loop — train several maps with different
 seeds and σ schedules, keep the lowest-QE one — runs serially in the
-reference (one full train per candidate). ``SomPopulation`` batches the
-whole sweep into ONE executable: every member's BMU search is a slice of
-one concatenated-codebook MXU GEMM per data chunk, so small maps that
-would leave the chip idle instead share it.
+reference (one full train per candidate). ``SomPopulation`` runs the
+whole sweep through one call: with the default ``strategy='auto'``,
+resident data routes to the measured-fastest plan (each member rides the
+single-model fused Pallas executables over one shared device-resident
+copy of the data; members with identical schedules reuse ONE compiled
+program). ``strategy='batched'`` (the concatenated-codebook MXU GEMM)
+and ``'fused'`` (per-member kernels inside ``lax.map``, the streaming
+default) are available explicitly — see docs/API.md for the measured
+routing.
 
 Headless: prints the per-member QE table and the winning configuration.
 """
@@ -54,4 +59,5 @@ print(
 )
 # the winner is a normal XPySom: full inference/analysis API
 print("distance_map shape:", best.distance_map().shape)
-assert np.argmin(qes) == i_best
+# best(data) must agree with the QE table it is defined by
+assert best is pop.member(i_best)

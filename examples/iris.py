@@ -42,13 +42,14 @@ def main():
         import matplotlib.pyplot as plt
         import os
 
-        os.makedirs("examples/out", exist_ok=True)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+        os.makedirs(out, exist_ok=True)
         plt.figure(figsize=(5, 5))
         plt.pcolor(som.distance_map().T, cmap="bone_r")
         plt.colorbar()
         plt.title("Iris U-matrix")
-        plt.savefig("examples/out/iris_umatrix.png", dpi=100)
-        print("wrote examples/out/iris_umatrix.png")
+        plt.savefig(os.path.join(out, "iris_umatrix.png"), dpi=100)
+        print("wrote", os.path.join(out, "iris_umatrix.png"))
     except ImportError:
         pass
 

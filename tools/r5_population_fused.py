@@ -68,15 +68,17 @@ def run_p(p, x, y, d, n, lo, hi):
     )
 
     pop = SomPopulation(p, x, y, d, sigma=2.0, random_seed=1)
-    chunks_p, mask_p, _ = pop._chunked(data)
     specs = pop._specs()
     rows = {}
     for impl in ("batched", "fused"):
+        # chunk with the SAME budget the shipped strategy uses (round-5
+        # review: the fused lax.map program runs member-sized 16384-row
+        # chunks in production; timing it over concat-budget chunks
+        # understates fused by the extra per-scan-step overhead)
+        kind = "fused" if impl == "fused" else "concat"
+        chunks_p, mask_p, _ = pop._chunked(data, kind)
         w_p = pop._stacked_device_weights()
-        fn = make_population_train_fn(
-            specs, num_epochs, None,
-            "fused" if impl == "fused" else "concat",
-        )
+        fn = make_population_train_fn(specs, num_epochs, None, kind)
         w_p = fn(w_p, chunks_p, mask_p, jnp.int32(0), jnp.int32(1))
         sync(w_p)
         s, tlo, thi, w_p = slope_time(fn, w_p, chunks_p, mask_p, lo, hi)
