@@ -445,7 +445,10 @@ def test_built_instance_never_picks_up_later_env(monkeypatch):
     assert spec.use_pallas is True
     # while a NEW model picks the env up (construction boundary)
     fresh = XPySom(4, 4, 8)
-    assert fresh._spec.bmu_tiles == (512, 1024) or fresh._spec.bmu_tiles == (8, 128)
+    # the env at THIS construction says 8x128: any other resolution (e.g.
+    # a stale earlier value like (512, 1024)) is exactly the bug this
+    # construction-boundary check exists for (round-5 review)
+    assert fresh._spec.bmu_tiles == (8, 128)
 
 
 def test_spec_concrete_values_validated_at_construction():

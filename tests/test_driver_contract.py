@@ -60,8 +60,8 @@ def test_bench_emits_one_json_line(search_inner):
     )
 
 
-def test_graft_entry():
-    sys.path.insert(0, REPO)
+def test_graft_entry(monkeypatch):
+    monkeypatch.syspath_prepend(REPO)  # auto-restored, no session leak
     import __graft_entry__ as g
 
     fn, args = g.entry()

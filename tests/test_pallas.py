@@ -644,7 +644,7 @@ def test_elementwise_kernels_reject_over_budget_p():
         pl_bmu.bmu_norm_p_frac(x, w, p=50.5, interpret=True)
 
 
-def test_norm_p_odd_dispatch_routing():
+def test_norm_p_odd_dispatch_routing(monkeypatch):
     """core._pallas_bmu_kind routes odd integer p to the elementwise
     kernel (on TPU), keeps even p on the GEMM expansion, and sends
     fractional p to the exp/log elementwise kernel; the D gate matches
@@ -652,15 +652,17 @@ def test_norm_p_odd_dispatch_routing():
     from xpysom_dask_tpu import core
     from xpysom_dask_tpu.ops.distances import DistanceFunction
 
-    import jax
+    # the conftest forces the CPU backend for the whole suite, so a
+    # default_backend() skip-guard would skip EVERYWHERE (round-5 review:
+    # this test never ran); fake the backend like the sibling gating test
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("XPYSOM_TPU_NO_PALLAS", raising=False)
 
     def kind(p, d=32):
         return core._pallas_bmu_kind(
             DistanceFunction("norm_p", {"p": p}), d, use_pallas=True
         )
 
-    if jax.default_backend() != "tpu":
-        pytest.skip("kind gates on the TPU backend")
     assert kind(3) == "norm_p_odd"
     assert kind(1) == "norm_p_odd"
     assert kind(4) == "norm_p_even"

@@ -124,15 +124,46 @@ def test_streaming_qe_checks_feature_count():
 
 
 def test_manhattan_kernel_honors_env_tiles(monkeypatch):
+    """XPYSOM_BMU_TILES must reach the manhattan kernel: kernels are
+    env-blind by design, so the contract is env -> SomSpec.bmu_tiles at
+    construction -> tiles= kwarg at the _bmu_chunk call site (round-5
+    review: the original setenv-before-direct-kernel-call version
+    exercised none of this)."""
+    from xpysom_dask_tpu import XPySom, core
     from xpysom_dask_tpu.ops.pallas import bmu as pl_bmu
 
     rng = np.random.RandomState(0)
     x = rng.rand(40, 5).astype(np.float32)
     w = rng.rand(150, 5).astype(np.float32)
-    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
-    idx, _ = pl_bmu.bmu_manhattan(jnp.asarray(x), jnp.asarray(w), interpret=True)
+
+    # the kernel itself honors an explicit tiles= (interpret mode)
+    idx, _ = pl_bmu.bmu_manhattan(
+        jnp.asarray(x), jnp.asarray(w), tiles=(8, 128), interpret=True
+    )
     ref = np.abs(x[:, None] - w[None]).sum(-1).argmin(1)
     np.testing.assert_array_equal(np.asarray(idx), ref)
+
+    # env resolves at the SomSpec boundary...
+    monkeypatch.setenv("XPYSOM_BMU_TILES", "8x128")
+    som = XPySom(10, 15, 5, random_seed=1, activation_distance="manhattan")
+    assert som._spec.bmu_tiles == (8, 128)
+    # ...and the dispatch threads spec.bmu_tiles into the kernel call
+    seen = {}
+    real = pl_bmu.bmu_manhattan
+
+    def spy(xx, ww, **kw):
+        seen["tiles"] = kw.get("tiles")
+        return real(xx, ww, interpret=True, **{
+            k: v for k, v in kw.items() if k != "interpret"})
+
+    # core imports the kernel inside _bmu_chunk: patch the source module
+    monkeypatch.setattr("xpysom_dask_tpu.ops.pallas.bmu.bmu_manhattan", spy)
+    monkeypatch.setattr(core.jax, "default_backend", lambda: "tpu")
+    core._bmu_chunk(
+        som._spec.distance_fn(), jnp.asarray(x),
+        jnp.asarray(w), None, som._spec,
+    )
+    assert seen.get("tiles") == (8, 128)
 
 
 def test_autotune_kernel_maps_activation(monkeypatch):

@@ -134,7 +134,12 @@ class TestSplitScatter:
 
     def test_train_parity_at_lane_boundary(self, monkeypatch):
         """End-to-end: a D=128 training run (split auto-ON) matches the
-        same run with the split forced OFF."""
+        same run with the split forced OFF. The env hook resolves at
+        factory-BUILD time and the factories are lru_cached on
+        (spec, num_epochs, mesh), so each arm must clear the program
+        caches or both arms run one cached executable (round-5 review:
+        this test was vacuous without it)."""
+        from xpysom_dask_tpu import core
         from xpysom_dask_tpu.models.som import XPySom
 
         rng = np.random.RandomState(0)
@@ -142,12 +147,14 @@ class TestSplitScatter:
 
         def train(env):
             monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", env)
+            core.clear_program_caches()
             som = XPySom(7, 6, 128, sigma=2.0, random_seed=11)
             som.train(data, num_epochs=3)
             return som.get_weights()
 
         w_off = train("0")
         w_on = train("1")
+        core.clear_program_caches()  # don't leak forced-ON programs
         np.testing.assert_allclose(w_on, w_off, rtol=2e-5, atol=1e-6)
 
     def test_grid_sharded_split_parity(self, monkeypatch):
@@ -159,31 +166,42 @@ class TestSplitScatter:
 
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 devices")
+        from xpysom_dask_tpu import core
+
         rng = np.random.RandomState(5)
         data = rng.rand(300, 16).astype(np.float32)
         monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "0")
+        core.clear_program_caches()  # env resolves at factory build time
         single = XPySom(8, 4, 16, random_seed=3, n_parallel=64)
         single.train(data, 3)
         monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", "1")
+        core.clear_program_caches()
         sharded = XPySom(
             8, 4, 16, random_seed=3, n_parallel=64, mesh=make_grid_mesh(2, 4)
         )
         sharded.train(data, 3)
+        core.clear_program_caches()  # don't leak forced-ON programs
         np.testing.assert_allclose(
             sharded._weights, single._weights, rtol=1e-4, atol=1e-5
         )
 
     def test_population_split_parity(self, monkeypatch):
-        """Split scatter in the population sweep matches the fused run."""
-        from xpysom_dask_tpu import SomPopulation
+        """Split scatter in the population sweep matches the fused run.
+        Each arm clears the cached program factories — the env hook
+        resolves at build time, so without the clear both arms reuse one
+        executable (round-5 review: this test was vacuous)."""
+        from xpysom_dask_tpu import SomPopulation, core
 
         rng = np.random.RandomState(9)
         data = rng.rand(200, 8).astype(np.float32)
 
         def run(env):
             monkeypatch.setenv("XPYSOM_SPLIT_SCATTER", env)
+            core.clear_program_caches()
             pop = SomPopulation(3, 4, 5, 8, sigma=[1.0, 1.5, 2.0], random_seed=2)
             pop.train(data, 3)
             return np.asarray(pop.weights)
 
-        np.testing.assert_allclose(run("1"), run("0"), rtol=1e-5, atol=1e-6)
+        w_on, w_off = run("1"), run("0")
+        core.clear_program_caches()  # don't leak forced-state programs
+        np.testing.assert_allclose(w_on, w_off, rtol=1e-5, atol=1e-6)

@@ -42,9 +42,10 @@ def test_unavailable_topology():
 
 
 def test_hex_triangle_warns_then_raises():
+    # reference parity (xpysom.py:206-208 + :227-230): hex+triangle first
+    # WARNS, then raises — pin both halves of the contract
     with pytest.raises(ValueError):
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
+        with pytest.warns(Warning, match="triangle"):
             XPySom(5, 5, 1, topology="hexagonal", neighborhood_function="triangle")
 
 

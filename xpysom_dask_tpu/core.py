@@ -928,3 +928,32 @@ def make_topographic_stats_fn(spec: SomSpec, mesh: Optional[Mesh] = None):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def clear_program_caches() -> None:
+    """Drop every ``lru_cache``d program factory across the package.
+
+    The scatter/kernel env hooks (``XPYSOM_SPLIT_SCATTER``,
+    ``XPYSOM_MOSAIC_SCATTER``, ...) resolve EAGERLY at factory-build
+    time — compiled programs close over booleans and never read env — so
+    flipping a hook after a program is cached has no effect on equal
+    ``(spec, num_epochs, mesh)`` keys. Measurement tools and A/B tests
+    that toggle a hook must call this between arms, or they compare a
+    cached program against itself (round-5 review: two split-scatter
+    parity tests were vacuous this way)."""
+    import sys as _sys
+
+    mods = [_sys.modules[__name__]]
+    for name in (
+        "xpysom_dask_tpu.models.population",
+        "xpysom_dask_tpu.parallel.grid_sharded",
+    ):
+        if name in _sys.modules:
+            mods.append(_sys.modules[name])
+        else:  # import so a pre-warm clear covers them too
+            __import__(name)
+            mods.append(_sys.modules[name])
+    for mod in mods:
+        for obj in vars(mod).values():
+            if callable(obj) and hasattr(obj, "cache_clear"):
+                obj.cache_clear()
